@@ -1,0 +1,98 @@
+"""Configuration dataclasses for the tracker, NMS, and pipeline.
+
+The reference hardcodes its tracker hyperparameters in ``BoTSORT.__init__``
+(demo_bottrack_onnx_tflite.py:1268-1277) and bakes NMS parameters into the
+ONNX graph (README.md:199-244, retuned offline via sam4onnx). Here both are
+first-class config, since on TPU the NMS and cascade live in our own code.
+
+All "MAX_*" fields are static shapes: TPU/XLA wants fixed shapes, so every
+per-frame quantity (detections, tracks, crops) lives in padded slots with
+validity masks. The semantics on valid entries are proven identical to the
+reference's dynamic-shape math by the oracle tests in tests/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class NMSConfig:
+    """Detector post-process config.
+
+    Defaults mirror the shipped reference detector ONNX
+    ``yolox_x_..._post_1x3x480x640_score015_iou080_box050.onnx``:
+    score threshold 0.15, NMS IoU threshold 0.80, max 50 boxes/class
+    (the upstream generic defaults are 0.25/0.40/20 — README.md:199-207).
+    """
+
+    score_threshold: float = 0.15
+    iou_threshold: float = 0.80
+    max_boxes_per_class: int = 50
+    num_classes: int = 4  # 0=body, 1=head, 2=hand, 3=face
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """BoT-SORT association-cascade hyperparameters.
+
+    Values mirror the reference's tuned settings
+    (demo_bottrack_onnx_tflite.py:1268-1277); upstream BoT-SORT defaults in
+    parentheses.
+    """
+
+    track_high_thresh: float = 0.40   # tracking confidence threshold (0.6)
+    track_low_thresh: float = 0.10    # lowest score valid for tracks (0.1)
+    new_track_thresh: float = 0.90    # new track activation thresh (0.7)
+    match_thresh: float = 0.80        # lapjv cost limit, pass 1 (0.8)
+    second_match_thresh: float = 0.50  # lapjv cost limit, pass 2 (hardcoded 0.5)
+    unconfirmed_match_thresh: float = 0.70  # lapjv cost limit, pass 3 (0.7)
+    track_buffer: int = 300           # frames to keep lost tracks (30)
+    feature_history: int = 0          # ring-buffer depth for feature history.
+    # The reference keeps a 300-deep deque (demo:481,488) that is appended to
+    # but never read by the algorithm; we default the store to 0 (off) and
+    # allocate the ring buffer only when >0.
+    proximity_thresh: float = 0.50    # IoU-distance gate for ReID fusion
+    appearance_thresh: float = 0.25   # cosine-distance gate for ReID fusion
+    frame_rate: int = 30
+    feature_ema_alpha: float = 0.90   # smooth-feature EMA (demo:473)
+    det_score_threshold: float = 0.35  # YOLOX class_score_th (demo:746,862)
+    # Fixed slot counts (static shapes).
+    max_tracks: int = 128             # live (tracked+lost+unconfirmed) slots
+    max_dets: int = 56                # per-class detection slots fed to tracker
+    body_feature_dim: int = 2048      # FastReID SBS-S50 embedding dim
+    face_feature_dim: int = 256       # face-reidentification-retail-0095 dim
+
+    @property
+    def buffer_size(self) -> int:
+        # demo:1276 — int(frame_rate / 30.0 * track_buffer)
+        return int(self.frame_rate / 30.0 * self.track_buffer)
+
+    @property
+    def max_time_lost(self) -> int:
+        return self.buffer_size
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end pipeline config: model input geometry + batching."""
+
+    detector_input_hw: Tuple[int, int] = (480, 640)   # demo:1902 (1x3x480x640)
+    body_reid_input_hw: Tuple[int, int] = (256, 128)  # mot17_sbs_S50 NMx3x256x128
+    face_reid_input_hw: Tuple[int, int] = (128, 128)  # retail-0095 NMx3x128x128
+    # Max ReID crop batch — the static answer to the reference's 100
+    # TensorRT engines for batch sizes 1..100 (optimize_reid_*.sh:19-21):
+    # one compiled shape, masked entries cost ~0 extra due to padding only
+    # up to the live-detection count's bucket.
+    max_reid_batch: int = 16
+    # Compute dtype for the neural nets (tracker math stays float32).
+    compute_dtype: str = "bfloat16"
+    # track classes to emit (the README documents -tc/--track_target_classes
+    # but the reference never implements it — README.md:71,86-88; we do).
+    track_target_classes: Tuple[int, ...] = (0,)
+
+
+DEFAULT_NMS = NMSConfig()
+DEFAULT_TRACKER = TrackerConfig()
+DEFAULT_PIPELINE = PipelineConfig()

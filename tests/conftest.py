@@ -1,0 +1,18 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+No TPU is available in CI; every jitted function in the package runs
+unchanged on the CPU backend, and the multi-stream sharding tests use an
+8-device virtual mesh (SURVEY.md §4).
+
+This must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
