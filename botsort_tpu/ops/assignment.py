@@ -1,0 +1,215 @@
+"""On-device linear assignment with cost-limit semantics.
+
+The reference solves its three per-frame assignment problems with the C++
+``lap.lapjv`` solver via ``lap.lapjv(cost, extend_cost=True,
+cost_limit=thresh)`` (demo_bottrack_onnx_tflite.py:1682-1693), paying a
+Python<->C++ host round-trip per call. Here the solver runs on the TPU as
+part of the fused frame step.
+
+cost-limit semantics (what lap does with extend_cost=True): an n x m
+problem is embedded in an (n+m) x (n+m) square problem
+
+    [ C            L/2 * ones ]      L = cost_limit
+    [ L/2 * ones   0          ]
+
+and solved exactly; row i is "matched" iff its square-problem partner is a
+real column. A pair therefore matches iff keeping it is globally cheaper
+than sending both endpoints to the dummy region (combined price L) — which
+is how thresholded assignment behaves in BYTE/BoT-SORT.
+
+Our solver is the **auction algorithm** (Bertsekas) with epsilon scaling,
+in Jacobi (all-bidders-parallel) form: every iteration is a handful of
+[S, S] vectorized max/argmax reductions — VPU-friendly, no data-dependent
+shapes — inside a ``lax.while_loop``. Costs are quantized to an int32 grid
+(relative resolution 2^-26 * (S+1) of the cost range, ~1e-5 for the
+tracker's slot sizes) and the final epsilon is 1 grid unit; on integer
+costs with eps < 1/(S+1)-scaled units the auction returns the **exact**
+optimum — no float round-off can stall a bid. Exact cost ties may resolve
+differently than lapjv (both optimal). ``tests/test_assignment.py``
+validates against a scipy-based exact oracle, and
+``botsort_tpu.runtime.native`` provides a bit-exact C++ LAPJV for
+host-mode parity runs.
+
+Shapes are fully static: ``solve_masked`` takes a padded [MAX_A, MAX_B]
+cost matrix plus row/column validity masks, so the per-frame variation in
+track/detection counts never changes the compiled program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG = jnp.int32(-(2 ** 30))
+
+
+class AssignmentResult(NamedTuple):
+    """SoA match description.
+
+    col_for_row: [MAX_A] int32 — matched column index, -1 if unmatched.
+    row_for_col: [MAX_B] int32 — matched row index, -1 if unmatched.
+    Invalid (masked) rows/cols are always -1.
+    """
+
+    col_for_row: jnp.ndarray
+    row_for_col: jnp.ndarray
+
+
+def _auction_maximize_int(benefit: jnp.ndarray, max_iters: int) -> jnp.ndarray:
+    """Solve max-sum square assignment on integer (int32) benefits [S, S].
+
+    Returns owner_row_for_col [S] int32. Jacobi auction with epsilon
+    scaling (factor 7) down to eps=1; prices persist across phases,
+    assignments reset. Exact optimum for scaled-integer benefits.
+    """
+    s = benefit.shape[0]
+    span = jnp.maximum(jnp.max(benefit) - jnp.min(benefit), 1)
+    eps0 = jnp.maximum(span // 2, 1)
+    # Number of scaling phases: eps0 / 7^k reaches 1.
+    num_phases = (
+        jnp.ceil(
+            jnp.log(eps0.astype(jnp.float32)) / jnp.log(7.0)
+        ).astype(jnp.int32)
+        + 1
+    )
+    rows = jnp.arange(s)
+
+    def phase_body(phase_state):
+        phase_idx, prices, _owner = phase_state
+        eps = jnp.maximum(
+            (eps0.astype(jnp.float32) / (7.0 ** phase_idx.astype(jnp.float32)))
+            .astype(jnp.int32),
+            1,
+        )
+
+        def bid_round(state):
+            owner, row_assigned, prices, it = state
+            # Row i's value for column j at current prices.
+            values = benefit - prices[None, :]
+            values = jnp.where(row_assigned[:, None], _NEG, values)
+            best_j = jnp.argmax(values, axis=1)
+            best_v = jnp.max(values, axis=1)
+            masked = values.at[rows, best_j].set(_NEG)
+            second_v = jnp.max(masked, axis=1)
+            bid = prices[best_j] + (best_v - second_v) + eps
+            # Scatter bids; each contested column takes the highest.
+            live = jnp.logical_not(row_assigned)
+            bids = jnp.full((s, s), _NEG, dtype=jnp.int32)
+            bids = bids.at[rows, best_j].set(jnp.where(live, bid, _NEG))
+            col_best_bid = jnp.max(bids, axis=0)
+            col_winner = jnp.argmax(bids, axis=0).astype(jnp.int32)
+            col_has_bid = col_best_bid > _NEG // 2
+
+            new_prices = jnp.where(col_has_bid, col_best_bid, prices)
+            prev_owner = owner
+            new_owner = jnp.where(col_has_bid, col_winner, owner)
+            evict_rows = jnp.where(col_has_bid & (prev_owner >= 0),
+                                   prev_owner, s)
+            evicted = (
+                jnp.zeros((s + 1,), dtype=bool).at[evict_rows].set(True)[:s]
+            )
+            won = (
+                jnp.zeros((s + 1,), dtype=bool)
+                .at[jnp.where(col_has_bid, col_winner, s)]
+                .set(True)[:s]
+            )
+            new_assigned = (row_assigned & jnp.logical_not(evicted)) | won
+            return new_owner, new_assigned, new_prices, it + 1
+
+        def bid_cond(state):
+            _, row_assigned, _, it = state
+            return jnp.logical_and(
+                jnp.logical_not(jnp.all(row_assigned)), it < max_iters
+            )
+
+        owner0 = jnp.full((s,), -1, dtype=jnp.int32)
+        assigned0 = jnp.zeros((s,), dtype=bool)
+        owner, _, prices, _ = jax.lax.while_loop(
+            bid_cond, bid_round, (owner0, assigned0, prices, jnp.int32(0))
+        )
+        return phase_idx + 1, prices, owner
+
+    def phase_cond(phase_state):
+        phase_idx, _, _ = phase_state
+        return phase_idx < num_phases
+
+    prices0 = jnp.zeros((s,), dtype=jnp.int32)
+    owner0 = jnp.full((s,), -1, dtype=jnp.int32)
+    _, _, owner = jax.lax.while_loop(
+        phase_cond, phase_body, (jnp.int32(0), prices0, owner0)
+    )
+    return owner
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def solve_masked(
+    cost: jnp.ndarray,
+    row_valid: jnp.ndarray,
+    col_valid: jnp.ndarray,
+    cost_limit: jnp.ndarray | float,
+    max_iters: int = 20000,
+) -> AssignmentResult:
+    """Thresholded LAP over a padded cost matrix.
+
+    cost: [MAX_A, MAX_B] float32 (entries at invalid rows/cols ignored).
+    row_valid: [MAX_A] bool; col_valid: [MAX_B] bool.
+    cost_limit: scalar — lapjv cost_limit semantics as described above.
+    """
+    max_a, max_b = cost.shape
+    s = max_a + max_b
+    cost = cost.astype(jnp.float32)
+    cost_limit = jnp.asarray(cost_limit, dtype=jnp.float32)
+
+    finite_max = jnp.max(jnp.where(
+        row_valid[:, None] & col_valid[None, :], jnp.abs(cost), 0.0))
+    big = finite_max + jnp.abs(cost_limit) + 1.0
+
+    half = cost_limit / 2.0
+    ext = jnp.full((s, s), half, dtype=jnp.float32)
+    # Real-real block: true costs on valid pairs, BIG on invalid so a
+    # valid endpoint always prefers its dummy option over a padding slot.
+    rr = jnp.where(row_valid[:, None] & col_valid[None, :], cost, big)
+    ext = ext.at[:max_a, :max_b].set(rr)
+    # Invalid real rows pair with dummy columns at 0 cost, and invalid real
+    # cols with dummy rows: padding slots behave like extra dummy-dummy
+    # pairs and never perturb the valid sub-problem.
+    row_idx = jnp.arange(s)[:, None]
+    col_idx = jnp.arange(s)[None, :]
+    inv_row_ext = jnp.concatenate(
+        [jnp.logical_not(row_valid), jnp.zeros((max_b,), dtype=bool)])
+    inv_col_ext = jnp.concatenate(
+        [jnp.logical_not(col_valid), jnp.zeros((max_a,), dtype=bool)])
+    ext = jnp.where(inv_row_ext[:, None] & (col_idx >= max_b), 0.0, ext)
+    ext = jnp.where((row_idx >= max_a) & inv_col_ext[None, :], 0.0, ext)
+    # Dummy-dummy block is 0 (lap: cost_c_extended[n:, m:] = 0).
+    ext = jnp.where((row_idx >= max_a) & (col_idx >= max_b), 0.0, ext)
+
+    # Quantize to an int32 grid: ext/denom is in [0, ~3]; 2^26 / 4 units
+    # keeps |benefit| < 2^26 with bid arithmetic far from int32 overflow.
+    denom = jnp.maximum(jnp.maximum(finite_max, jnp.abs(cost_limit)), 1e-6)
+    unit = jnp.float32(2.0 ** 24)
+    ext_q = jnp.round(ext / denom * unit).astype(jnp.int32)
+    owner = _auction_maximize_int(-ext_q, max_iters)
+
+    # owner[j] = row assigned to column j in the square problem.
+    cols = jnp.arange(s)
+    owner_clamped = jnp.clip(owner, 0, max_a - 1)
+    real_match = (
+        (owner >= 0)
+        & (owner < max_a)
+        & (cols < max_b)
+        & row_valid[owner_clamped]
+        & jnp.concatenate([col_valid, jnp.zeros((max_a,), dtype=bool)])
+    )
+    row_for_col = jnp.where(
+        real_match[:max_b], owner[:max_b], -1).astype(jnp.int32)
+    safe_rows = jnp.where(row_for_col >= 0, row_for_col, max_a)
+    col_for_row = (
+        jnp.full((max_a + 1,), -1, dtype=jnp.int32)
+        .at[safe_rows]
+        .set(jnp.arange(max_b, dtype=jnp.int32))[:max_a]
+    )
+    return AssignmentResult(col_for_row=col_for_row, row_for_col=row_for_col)

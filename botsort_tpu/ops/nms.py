@@ -1,0 +1,114 @@
+"""Fixed-shape class-aware non-maximum suppression.
+
+The reference bakes NMS into the detector ONNX graph and executes it with
+TensorRT (README.md:183, 199-244: tunable max_output_boxes_per_class /
+iou_threshold / score_threshold via sam4onnx). On TPU the NMS is ours:
+a static-shape top-k + IoU suppression sweep that jits into the detector's
+postprocess, emitting padded per-class slots plus validity masks.
+
+Algorithm (per class): take the top-K boxes by score, compute the K x K
+IoU matrix once (one small matmul-free VPU block), then run the standard
+greedy sweep as a K-step ``lax.scan`` over precomputed rows — each step is
+O(K) vector work, no data-dependent shapes. Matches ONNX
+NonMaxSuppression semantics (suppress when IoU > threshold with an
+already-kept higher-scoring box).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from botsort_tpu.ops.boxes import iou_matrix
+
+
+class Detections(NamedTuple):
+    """Padded detector output, per class.
+
+    boxes: [C, K, 4] tlbr in input-image coordinates.
+    scores: [C, K] float32.
+    valid: [C, K] bool.
+    """
+
+    boxes: jnp.ndarray
+    scores: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def nms_single_class(
+    boxes_tlbr: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    score_threshold: float,
+    max_outputs: int,
+    pre_nms_top_k: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NMS over one class's padded candidates.
+
+    boxes_tlbr: [N, 4]; scores: [N]; valid: [N] -> (boxes [K,4],
+    scores [K], valid [K]) sorted by descending score.
+
+    The suppression sweep runs over the top `pre_nms_top_k` candidates
+    (standard accelerator practice; exact when the candidate count above
+    the score threshold is <= pre_nms_top_k), then the first
+    `max_outputs` survivors are compacted into the output slots —
+    matching ONNX NonMaxSuppression's max_output_boxes_per_class.
+    """
+    neg = jnp.float32(-1.0)
+    s = jnp.where(valid & (scores > score_threshold), scores, neg)
+    p = min(pre_nms_top_k, s.shape[0])
+    k = max_outputs
+    top_s, top_i = jax.lax.top_k(s, p)
+    top_boxes = boxes_tlbr[top_i]
+    top_valid = top_s > neg
+
+    iou = iou_matrix(top_boxes, top_boxes)
+    # suppressed[j] if any kept i < j (higher score) has IoU > thresh.
+    overlap = (iou > iou_threshold) & top_valid[:, None] & top_valid[None, :]
+
+    def step(kept, i):
+        # Box i survives iff no higher-ranked kept box suppresses it.
+        sup = jnp.any(kept & overlap[:, i])
+        keep_i = top_valid[i] & jnp.logical_not(sup)
+        return kept.at[i].set(keep_i), keep_i
+
+    kept0 = jnp.zeros((p,), dtype=bool)
+    _, keep = jax.lax.scan(step, kept0, jnp.arange(p))
+
+    # Compact the first K survivors (score order) into fixed slots.
+    rank = jnp.cumsum(keep) - 1
+    dest = jnp.where(keep & (rank < k), rank, k)
+    out_boxes = jnp.zeros((k + 1, 4), dtype=top_boxes.dtype).at[dest].set(
+        top_boxes)[:k]
+    out_scores = jnp.zeros((k + 1,), dtype=top_s.dtype).at[dest].set(
+        jnp.where(keep, top_s, 0.0))[:k]
+    out_valid = jnp.arange(k) < jnp.minimum(jnp.sum(keep), k)
+    return out_boxes, out_scores, out_valid
+
+
+def multiclass_nms(
+    boxes_tlbr: jnp.ndarray,
+    scores: jnp.ndarray,
+    class_ids: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_classes: int,
+    iou_threshold: float,
+    score_threshold: float,
+    max_per_class: int,
+) -> Detections:
+    """Class-aware NMS over a flat padded candidate set.
+
+    boxes_tlbr: [N, 4]; scores: [N]; class_ids: [N] int32; valid: [N].
+    """
+
+    def per_class(c):
+        mask = valid & (class_ids == c)
+        return nms_single_class(
+            boxes_tlbr, scores, mask, iou_threshold, score_threshold,
+            max_per_class)
+
+    b, s, v = jax.vmap(per_class)(jnp.arange(num_classes))
+    return Detections(boxes=b, scores=s, valid=v)

@@ -1,0 +1,96 @@
+"""crop_and_resize vs cv2, and greedy hierarchy vs a numpy oracle."""
+
+import numpy as np
+import cv2
+import jax.numpy as jnp
+
+from botsort_tpu.ops import crop, hierarchy
+from tests.oracle import boxes_np
+
+
+def test_crop_resize_matches_cv2():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (120, 160, 3)).astype(np.float32)
+    boxes = np.array([
+        [10, 20, 74, 100],
+        [0, 0, 160, 120],
+        [50, 30, 58, 46],
+    ], dtype=np.float32)
+    out = np.asarray(crop.crop_and_resize(
+        jnp.asarray(img), jnp.asarray(boxes), (64, 32)))
+    for i, (x1, y1, x2, y2) in enumerate(boxes.astype(int)):
+        ref = cv2.resize(img[y1:y2, x1:x2], (32, 64),
+                         interpolation=cv2.INTER_LINEAR)
+        # cv2 uses fixed-point bilinear; allow ~1 intensity unit.
+        assert np.abs(out[i] - ref).max() < 1.0, i
+
+
+def test_crop_degenerate_box_is_zero():
+    img = jnp.ones((50, 50, 3))
+    boxes = jnp.asarray([[10.0, 10.0, 10.0, 30.0]])  # zero width
+    out = np.asarray(crop.crop_and_resize(img, boxes, (8, 8)))
+    assert (out == 0).all()
+
+
+def np_greedy(bases, targets, base_valid, target_valid, rounds=1):
+    used = [not v for v in target_valid]
+    picks = [[] for _ in range(rounds)]
+    for bi, base in enumerate(bases):
+        if not base_valid[bi]:
+            for r in range(rounds):
+                picks[r].append(-1)
+            continue
+        for r in range(rounds):
+            best, best_iou, best_d = -1, 0.0, float("inf")
+            bc = ((base[0] + base[2]) / 2, (base[1] + base[3]) / 2)
+            for ti, tgt in enumerate(targets):
+                if used[ti]:
+                    continue
+                i = boxes_np.iou_single(base, tgt)
+                tc = ((tgt[0] + tgt[2]) / 2, (tgt[1] + tgt[3]) / 2)
+                d = ((bc[0] - tc[0]) ** 2 + (bc[1] - tc[1]) ** 2) ** 0.5
+                if i > best_iou or (i > 0 and i == best_iou and d < best_d):
+                    best, best_iou, best_d = ti, i, d
+            if best >= 0:
+                used[best] = True
+            picks[r].append(best)
+    return picks
+
+
+def test_greedy_assign_matches_numpy():
+    rng = np.random.default_rng(2)
+    for _ in range(8):
+        nb, nt = 6, 9
+        bases = np.stack([
+            rng.uniform(0, 100, nb), rng.uniform(0, 100, nb),
+            np.zeros(nb), np.zeros(nb)], axis=-1)
+        bases[:, 2] = bases[:, 0] + rng.uniform(20, 60, nb)
+        bases[:, 3] = bases[:, 1] + rng.uniform(20, 60, nb)
+        targets = np.stack([
+            rng.uniform(0, 100, nt), rng.uniform(0, 100, nt),
+            np.zeros(nt), np.zeros(nt)], axis=-1)
+        targets[:, 2] = targets[:, 0] + rng.uniform(10, 40, nt)
+        targets[:, 3] = targets[:, 1] + rng.uniform(10, 40, nt)
+        bv = np.ones(nb, dtype=bool)
+        tv = rng.uniform(size=nt) > 0.2
+        (got,) = hierarchy.greedy_assign(
+            jnp.asarray(bases, dtype=jnp.float32), jnp.asarray(bv),
+            jnp.asarray(targets, dtype=jnp.float32), jnp.asarray(tv))
+        want = np_greedy(bases, targets, bv, tv)[0]
+        assert list(np.asarray(got)) == want
+
+
+def test_greedy_two_rounds_interleaved():
+    # One body, two hands: both claimed by the same body in order.
+    body = jnp.asarray([[0.0, 0.0, 100.0, 100.0], [200.0, 0.0, 300.0, 100.0]])
+    hands = jnp.asarray([
+        [10.0, 10.0, 30.0, 30.0],   # inside body 0
+        [60.0, 60.0, 90.0, 90.0],   # inside body 0
+        [210.0, 10.0, 230.0, 30.0]  # inside body 1
+    ])
+    h1, h2 = hierarchy.greedy_assign(
+        body, jnp.ones(2, dtype=bool), hands, jnp.ones(3, dtype=bool),
+        rounds=2)
+    h1, h2 = np.asarray(h1), np.asarray(h2)
+    assert set([h1[0], h2[0]]) == {0, 1}
+    assert h1[1] == 2 and h2[1] == -1
