@@ -1,0 +1,146 @@
+"""Demo CLI: track people in a video/camera stream on TPU.
+
+Mirrors the reference's CLI surface (demo_bottrack_onnx_tflite.py:
+1896-2203): ``-odm/-bfem/-ffem`` accept the same model file names (mapped
+to our architectures + checkpoints), ``-v`` video path or camera index,
+``-dvw`` disables the always-on output.mp4 writer, ``-fm`` enables the
+face mosaic. ``-ep`` selects the JAX backend (tpu/cpu) instead of an
+onnxruntime execution provider. ``-tc/--track_target_classes`` — which
+the reference README documents (README.md:71,86-88) but the reference
+never implements — is implemented here.
+
+Run: python -m botsort_tpu.cli.demo -v video.mp4
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from argparse import ArgumentParser
+
+import cv2
+import numpy as np
+
+from botsort_tpu.config import (
+    NMSConfig,
+    PipelineConfig,
+    TrackerConfig,
+)
+from botsort_tpu.io.draw import draw_latency, draw_tracks
+from botsort_tpu.io.video import PrefetchingCapture, make_writer
+from botsort_tpu.runtime import assets
+from botsort_tpu.runtime.device import platform_summary, setup_compilation_cache
+from botsort_tpu.utils.colors import cyan, green
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "-odm", "--object_detection_model",
+        type=str, default=assets.DEFAULT_DETECTOR,
+        help="Detector model name (reference ONNX names accepted; maps to "
+             "a YOLOX checkpoint under --weights_dir).")
+    parser.add_argument(
+        "-bfem", "--body_feature_extractor_model",
+        type=str, default=assets.DEFAULT_BODY_REID,
+        help="Body ReID model name (mot17/mot20 sbs_S50 variants).")
+    parser.add_argument(
+        "-ffem", "--face_feature_extractor_model",
+        type=str, default=assets.DEFAULT_FACE_REID,
+        help="Face ReID model name.")
+    parser.add_argument(
+        "-v", "--video", type=str, default="0",
+        help="Video file path or camera index.")
+    parser.add_argument(
+        "-ep", "--execution_provider", type=str,
+        choices=["tpu", "cpu"], default="tpu",
+        help="Compute backend (the reference's tensorrt/cuda/cpu EP "
+             "choices map to TPU vs CPU here).")
+    parser.add_argument(
+        "-dvw", "--disable_video_writer", action="store_true",
+        help="Disable the output.mp4 writer (removes file-IO load).")
+    parser.add_argument(
+        "-fm", "--face_mosaic", action="store_true", help="Face mosaic.")
+    parser.add_argument(
+        "-tc", "--track_target_classes", type=int, nargs="+",
+        default=[0, 1, 2, 3], choices=[0, 1, 2, 3],
+        help="Classes rendered/attached in outputs (0 body, 1 head, "
+             "2 hand, 3 face).")
+    parser.add_argument("--weights_dir", type=str, default="weights")
+    parser.add_argument("--output", type=str, default="output.mp4")
+    parser.add_argument(
+        "--headless", action="store_true",
+        help="No GUI window (no cv2.imshow); default when no DISPLAY.")
+    parser.add_argument(
+        "--max_frames", type=int, default=0,
+        help="Stop after N frames (0 = entire stream).")
+    parser.add_argument(
+        "--mini", action="store_true",
+        help="Use miniature model architectures (smoke tests).")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.execution_provider == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    setup_compilation_cache()
+    # Import after backend selection.
+    from botsort_tpu.pipeline.host import BoTSORTPipeline
+
+    print(cyan(f"backend: {platform_summary()}"))
+    bundle = assets.build_bundle(
+        detector_name=args.object_detection_model,
+        body_reid_name=args.body_feature_extractor_model,
+        face_reid_name=args.face_feature_extractor_model,
+        weights_dir=args.weights_dir,
+        mini=args.mini,
+    )
+    pipe_cfg = PipelineConfig(
+        detector_input_hw=assets.parse_detector_input_hw(
+            args.object_detection_model) if not args.mini else (96, 128),
+        body_reid_input_hw=assets.parse_body_reid_input_hw(
+            args.body_feature_extractor_model) if not args.mini else (64, 32),
+        face_reid_input_hw=(128, 128) if not args.mini else (32, 32),
+        track_target_classes=tuple(args.track_target_classes),
+    )
+    tracker_cfg = TrackerConfig(
+        body_feature_dim=2048 if not args.mini else 256,
+        face_feature_dim=256,
+    )
+    pipeline = BoTSORTPipeline(bundle, tracker_cfg, NMSConfig(), pipe_cfg)
+
+    cap = PrefetchingCapture(args.video)
+    writer = None
+    if not args.disable_video_writer:
+        writer = make_writer(args.output, cap.fps, cap.frame_size)
+    headless = args.headless or not os.environ.get("DISPLAY")
+
+    n = 0
+    try:
+        for frame in cap.frames():
+            t0 = time.perf_counter()
+            tracks = pipeline.update(frame)
+            dt = time.perf_counter() - t0
+
+            draw_latency(frame, dt)
+            draw_tracks(frame, tracks, face_mosaic=args.face_mosaic)
+            if writer is not None:
+                writer.write(frame)
+            if not headless:
+                cv2.imshow("botsort_tpu", frame)
+                if cv2.waitKey(1) == 27:  # ESC
+                    break
+            n += 1
+            if args.max_frames and n >= args.max_frames:
+                break
+    finally:
+        if writer is not None:
+            writer.release()
+        cap.release()
+    print(green(f"processed {n} frames"))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

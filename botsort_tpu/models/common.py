@@ -1,0 +1,140 @@
+"""Shared conv blocks for the detection / ReID backbones.
+
+All modules are inference-oriented: BatchNorm runs with stored running
+statistics (`use_running_average=True`), layouts are NHWC (TPU-native;
+the reference's ONNX graphs are NCHW — the weight importer transposes),
+and a `dtype` parameter selects the compute precision (bfloat16 by
+default on TPU, float32 params).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class ConvBN(nn.Module):
+    """Conv2D + BatchNorm + activation (the YOLOX "BaseConv")."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    act: Callable | None = nn.silu
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=True,
+            momentum=0.97,
+            epsilon=1e-3,
+            dtype=self.dtype,
+        )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class DWConv(nn.Module):
+    """Depthwise + pointwise conv pair (YOLOX "DWConv")."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    act: Callable | None = nn.silu
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBN(x.shape[-1], self.kernel, self.stride,
+                   groups=x.shape[-1], act=self.act, dtype=self.dtype)(x)
+        x = ConvBN(self.features, 1, 1, act=self.act, dtype=self.dtype)(x)
+        return x
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.features * self.expansion)
+        y = ConvBN(hidden, 1, 1, dtype=self.dtype)(x)
+        y = ConvBN(self.features, 3, 1, dtype=self.dtype)(y)
+        if self.shortcut and x.shape[-1] == self.features:
+            y = y + x
+        return y
+
+
+class CSPLayer(nn.Module):
+    """Cross-stage-partial layer (YOLOX "CSPLayer" / C3)."""
+
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.features * self.expansion)
+        a = ConvBN(hidden, 1, 1, dtype=self.dtype)(x)
+        b = ConvBN(hidden, 1, 1, dtype=self.dtype)(x)
+        for _ in range(self.n):
+            a = Bottleneck(hidden, self.shortcut, 1.0, dtype=self.dtype)(a)
+        y = jnp.concatenate([a, b], axis=-1)
+        return ConvBN(self.features, 1, 1, dtype=self.dtype)(y)
+
+
+class SPPBottleneck(nn.Module):
+    """Spatial pyramid pooling (kernel sizes 5/9/13)."""
+
+    features: int
+    kernels: Tuple[int, ...] = (5, 9, 13)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = x.shape[-1] // 2
+        x = ConvBN(hidden, 1, 1, dtype=self.dtype)(x)
+        pools = [x]
+        for k in self.kernels:
+            pools.append(
+                nn.max_pool(x, (k, k), strides=(1, 1),
+                            padding=((k // 2, k // 2), (k // 2, k // 2))))
+        x = jnp.concatenate(pools, axis=-1)
+        return ConvBN(self.features, 1, 1, dtype=self.dtype)(x)
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem: 4x subsampled pixel phases stacked on channels."""
+
+    features: int
+    kernel: int = 3
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        tl = x[:, 0::2, 0::2, :]
+        bl = x[:, 1::2, 0::2, :]
+        tr = x[:, 0::2, 1::2, :]
+        br = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([tl, bl, tr, br], axis=-1)
+        return ConvBN(self.features, self.kernel, 1, dtype=self.dtype)(x)

@@ -1,0 +1,204 @@
+"""FastReID SBS(S50) body ReID encoder in Flax: ResNeSt-50 + GeM + BNNeck.
+
+Native implementation of the architecture behind the reference's body
+ReID ONNX ``mot17/mot20_sbs_S50_NMx3x{256..384}x128_post_feature_only``
+(consumed at demo_bottrack_onnx_tflite.py:1032-1142): the FastReID
+"stronger baseline" config with a ResNeSt-50 backbone (split-attention
+bottlenecks, deep stem, average-pool downsampling, last stride 1),
+generalized-mean pooling and a BNNeck, producing a 2048-d embedding.
+
+The reference fuses L2-normalization and the N x M cosine-similarity
+matmul against tracked features INTO the ONNX graph (README.md:185-195)
+so the host never touches raw features; ``encode_and_compare`` keeps that
+contract as a jitted function (the matmul rides the MXU).
+
+Input convention matches the reference preprocess (demo:1124-1141):
+RGB (reference converts BGR->RGB), /255, ImageNet mean/std — applied by
+the pipeline before this module; the module takes normalized NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class _ConvBN(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    act: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        p = (self.kernel - 1) // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)),
+                    feature_group_count=self.groups, use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                         dtype=self.dtype)(x)
+        return nn.relu(x) if self.act else x
+
+
+class SplAtConv(nn.Module):
+    """Split-attention 3x3 convolution (ResNeSt), radix 2, cardinality 1."""
+
+    features: int
+    radix: int = 2
+    reduction: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c, r = self.features, self.radix
+        x = _ConvBN(c * r, 3, 1, groups=r, dtype=self.dtype)(x)
+        b, h, w, _ = x.shape
+        splits = x.reshape(b, h, w, r, c)
+        gap = jnp.mean(jnp.sum(splits, axis=3), axis=(1, 2))      # [B, C]
+        inter = max(c * r // self.reduction, 32)
+        z = nn.Dense(inter, dtype=self.dtype)(gap)
+        z = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                         dtype=self.dtype)(z)
+        z = nn.relu(z)
+        atten = nn.Dense(c * r, dtype=self.dtype)(z).reshape(b, r, c)
+        atten = nn.softmax(atten.astype(jnp.float32), axis=1).astype(
+            self.dtype)                                           # rSoftmax
+        return jnp.sum(splits * atten[:, None, None, :, :], axis=3)
+
+
+class SplAtBottleneck(nn.Module):
+    """ResNeSt bottleneck: 1x1 -> SplAt 3x3 (+avd pool on stride) -> 1x1 x4."""
+
+    width: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.width * 4
+        y = _ConvBN(self.width, 1, 1, dtype=self.dtype)(x)
+        y = SplAtConv(self.width, dtype=self.dtype)(y)
+        if self.stride > 1:
+            # avd: average-pool downsampling after the split-attention conv.
+            y = nn.avg_pool(y, (3, 3), strides=(self.stride, self.stride),
+                            padding=((1, 1), (1, 1)))
+        y = _ConvBN(out_ch, 1, 1, act=False, dtype=self.dtype)(y)
+        if self.downsample:
+            # avg_down shortcut: avgpool then 1x1 conv.
+            s = x
+            if self.stride > 1:
+                s = nn.avg_pool(s, (self.stride, self.stride),
+                                strides=(self.stride, self.stride))
+            s = _ConvBN(out_ch, 1, 1, act=False, dtype=self.dtype)(s)
+        else:
+            s = x
+        return nn.relu(y + s)
+
+
+class ResNeSt50(nn.Module):
+    """ResNeSt trunk with last_stride=1 (FastReID convention).
+
+    Defaults are ResNeSt-50: deep stem (32/32/64), stage widths
+    (64, 128, 256, 512) x4 expansion, block counts (3, 4, 6, 3).
+    `stage_blocks`/`stage_widths`/`stem_width` are exposed so tests can
+    run a miniature trunk (CPU per-op compilation in CI is slow).
+    """
+
+    stage_blocks: tuple = (3, 4, 6, 3)
+    stage_widths: tuple = (64, 128, 256, 512)
+    stem_width: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.dtype
+        sw = self.stem_width
+        # Deep stem: 3x 3x3 convs then maxpool.
+        x = _ConvBN(sw, 3, 2, dtype=dt)(x)
+        x = _ConvBN(sw, 3, 1, dtype=dt)(x)
+        x = _ConvBN(sw * 2, 3, 1, dtype=dt)(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
+        strides = (1, 2, 2, 1)  # last_stride=1
+        for width, blocks, stride in zip(self.stage_widths,
+                                         self.stage_blocks, strides):
+            for i in range(blocks):
+                x = SplAtBottleneck(
+                    width,
+                    stride=stride if i == 0 else 1,
+                    downsample=(i == 0),
+                    dtype=dt,
+                )(x)
+        return x                                                  # [B,H/16,W/16,4*w3]
+
+
+class GeMPool(nn.Module):
+    """Generalized-mean pooling with learnable exponent p (init 3.0)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.param("p", lambda k: jnp.asarray(3.0, jnp.float32))
+        x = x.astype(jnp.float32)
+        x = jnp.clip(x, self.eps, None) ** p
+        return jnp.mean(x, axis=(1, 2)) ** (1.0 / p)
+
+
+class FastReIDSBS(nn.Module):
+    """Full encoder: trunk -> GeM -> BNNeck -> 2048-d embedding."""
+
+    feature_dim: int = 2048
+    stage_blocks: tuple = (3, 4, 6, 3)
+    stage_widths: tuple = (64, 128, 256, 512)
+    stem_width: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images):
+        """images: [N, H, W, 3] normalized RGB. Returns [N, D] float32
+        L2-normalized embeddings (normalization fused, as in the
+        reference ONNX post-process)."""
+        x = ResNeSt50(self.stage_blocks, self.stage_widths,
+                      self.stem_width, dtype=self.dtype)(
+                          images.astype(self.dtype))
+        feat = GeMPool()(x)
+        # BNNeck (FastReID: BatchNorm1d, no classifier at inference).
+        feat = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                            dtype=jnp.float32)(feat)
+        norm = jnp.linalg.norm(feat, axis=-1, keepdims=True)
+        return (feat / jnp.maximum(norm, 1e-12)).astype(jnp.float32)
+
+
+def encode_and_compare(
+    model: FastReIDSBS,
+    params,
+    images: jnp.ndarray,
+    target_features: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The reference ONNX contract (README.md:185-195):
+
+    (base_images [N,H,W,3], target_features [M,D]) ->
+    (similarities [N,M], base_features [N,D]).
+    """
+    feats = model.apply(params, images)
+    sims = feats @ target_features.T
+    return sims, feats
+
+
+def preprocess(images_bgr: jnp.ndarray) -> jnp.ndarray:
+    """BGR uint8/float [N,H,W,3] -> normalized RGB float32 (demo:1136-1140)."""
+    rgb = images_bgr[..., ::-1].astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (rgb - mean) / std

@@ -112,3 +112,30 @@ def multiclass_nms(
 
     b, s, v = jax.vmap(per_class)(jnp.arange(num_classes))
     return Detections(boxes=b, scores=s, valid=v)
+
+
+def multiclass_nms_dense(
+    boxes_tlbr: jnp.ndarray,
+    class_scores: jnp.ndarray,
+    iou_threshold: float,
+    score_threshold: float,
+    max_per_class: int,
+    pre_nms_top_k: int = 256,
+) -> Detections:
+    """Class-aware NMS where every candidate has a score per class
+    (ONNX NonMaxSuppression's input layout — the detector's decode
+    produces [A, C] scores, each anchor participating in every class).
+
+    boxes_tlbr: [A, 4]; class_scores: [A, C] -> Detections with K =
+    max_per_class slots per class.
+    """
+    a, c = class_scores.shape
+    valid = jnp.ones((a,), dtype=bool)
+
+    def per_class(scores_c):
+        return nms_single_class(
+            boxes_tlbr, scores_c, valid, iou_threshold, score_threshold,
+            max_per_class, pre_nms_top_k)
+
+    b, s, v = jax.vmap(per_class)(class_scores.T)
+    return Detections(boxes=b, scores=s, valid=v)

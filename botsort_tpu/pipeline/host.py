@@ -1,0 +1,117 @@
+"""Host-side tracker facade: the TPU analog of the reference's BoTSORT.
+
+Owns the model bundle + device track store, invokes the fused frame step
+(one upload, one readback per frame), and assembles the host-visible
+track list + box hierarchy (API parity with ``BoTSORT.update(image) ->
+List[STrack]``, demo_bottrack_onnx_tflite.py:1252-1639).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from botsort_tpu.config import (
+    DEFAULT_NMS,
+    DEFAULT_PIPELINE,
+    DEFAULT_TRACKER,
+    NMSConfig,
+    PipelineConfig,
+    TrackerConfig,
+)
+from botsort_tpu.pipeline.boxes import Body, Face, Hand, Head, make_box
+from botsort_tpu.pipeline.frame_step import ModelBundle, frame_step
+from botsort_tpu.track.state import empty_store
+
+
+@dataclasses.dataclass
+class STrackView:
+    """Host view of one live track (the reference returns STrack objects;
+    we return lightweight views assembled from the device readback)."""
+
+    track_id: int
+    score: float
+    tlbr: np.ndarray          # [4] float32
+    body: Optional[Body]      # attached hierarchy for this frame
+
+    @property
+    def tlwh(self) -> np.ndarray:
+        out = self.tlbr.copy()
+        out[2:] -= out[:2]
+        return out
+
+
+class BoTSORTPipeline:
+    """End-to-end tracker over one video stream."""
+
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        tracker_cfg: TrackerConfig = DEFAULT_TRACKER,
+        nms_cfg: NMSConfig = DEFAULT_NMS,
+        pipe_cfg: PipelineConfig = DEFAULT_PIPELINE,
+    ):
+        self.bundle = bundle
+        self.tracker_cfg = tracker_cfg
+        self.nms_cfg = nms_cfg
+        self.pipe_cfg = pipe_cfg
+        self.store = empty_store(tracker_cfg)
+        self.frame_id = 0
+
+    def reset(self):
+        self.store = empty_store(self.tracker_cfg)
+        self.frame_id = 0
+
+    def update(self, frame_bgr: np.ndarray) -> List[STrackView]:
+        """One frame. frame_bgr: [H, W, 3] uint8 (OpenCV layout)."""
+        self.frame_id += 1
+        self.store, result = frame_step(
+            self.bundle, self.store, jnp.asarray(frame_bgr),
+            self.tracker_cfg, self.nms_cfg, self.pipe_cfg)
+        return self._assemble(jax.device_get(result))
+
+    def _assemble(self, res) -> List[STrackView]:
+        tc = self.pipe_cfg.track_target_classes
+        det_boxes = res.det_boxes
+        det_scores = res.det_scores
+        det_valid = res.det_valid
+        bodies_cls, heads_cls, hands_cls, faces_cls = 0, 1, 2, 3
+
+        def opt_box(cls_ctor, classid, slot, trackid):
+            if classid not in tc or slot < 0 or not det_valid[classid][slot]:
+                return None
+            return make_box(cls_ctor, classid, det_scores[classid][slot],
+                            det_boxes[classid][slot], trackid=trackid)
+
+        tracks: List[STrackView] = []
+        t = res.tracks
+        for k in range(len(t.valid)):
+            if not t.valid[k]:
+                continue
+            tid = int(t.track_id[k])
+            di = int(t.det_index[k])
+            body = None
+            if di >= 0 and bodies_cls in tc:
+                body = make_box(Body, bodies_cls, det_scores[bodies_cls][di],
+                                det_boxes[bodies_cls][di], trackid=tid)
+                hs = int(res.head_for_body[di])
+                head = opt_box(Head, heads_cls, hs, tid)
+                if head is not None:
+                    fs = int(res.face_for_head[hs])
+                    head.face = opt_box(Face, faces_cls, fs, tid)
+                body.head = head
+                body.hand1 = opt_box(Hand, hands_cls,
+                                     int(res.hand1_for_body[di]), tid)
+                body.hand2 = opt_box(Hand, hands_cls,
+                                     int(res.hand2_for_body[di]), tid)
+            tracks.append(STrackView(
+                track_id=tid,
+                score=float(t.score[k]),
+                tlbr=np.asarray(t.tlbr[k], dtype=np.float32),
+                body=body,
+            ))
+        return tracks

@@ -1,0 +1,132 @@
+"""Model asset management: presets, checkpoints, and bundle construction.
+
+The reference downloads ONNX files (plus prebuilt sm86 TensorRT engines
+for RTX-30xx GPUs) from its GitHub releases at startup
+(demo_bottrack_onnx_tflite.py:1815-1838, 1997-2047, ONNX_TRTENGINE_SETS
+demo:33-51). Here model weights live in orbax checkpoints; the registry
+below maps the reference's model file names onto our architectures so the
+CLI accepts the same ``-odm/-bfem/-ffem`` names. When no checkpoint is
+present the models run with random initialization (functional pipeline,
+no pretrained accuracy) and a clear warning — this repo has no network
+egress; tools/import_onnx.py converts the reference's ONNX weights when
+available.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from botsort_tpu.models import FaceReID, FastReIDSBS, YOLOX
+from botsort_tpu.pipeline.frame_step import ModelBundle
+from botsort_tpu.utils.colors import yellow
+
+# Reference model names (demo:1902-1935) -> architecture hints.
+DETECTOR_NAME_RE = re.compile(
+    r"yolox_(?P<preset>[a-z]+)_.*_(?P<h>\d+)x(?P<w>\d+)")
+REID_NAME_RE = re.compile(
+    r"(?P<train>mot\d+)_sbs_S50_NMx3x(?P<h>\d+)x(?P<w>\d+)")
+
+DEFAULT_DETECTOR = (
+    "yolox_x_body_head_hand_face_0076_0.5228_post_1x3x480x640_"
+    "score015_iou080_box050.onnx")
+DEFAULT_BODY_REID = "mot17_sbs_S50_NMx3x256x128_post_feature_only.onnx"
+DEFAULT_FACE_REID = (
+    "face-reidentification-retail-0095_NMx3x128x128_post_feature_only.onnx")
+
+# Miniature architectures for tests / CI (CPU per-op compile is slow).
+MINI = {
+    "detector": dict(num_classes=4, depth=0.33, width=0.25),
+    "body": dict(stage_blocks=(1, 1, 1, 1), stage_widths=(8, 16, 32, 64),
+                 stem_width=8),
+    "face": dict(layout=((1, 8, 1, 1), (6, 16, 1, 2), (6, 32, 1, 2)),
+                 head_width=64),
+}
+
+
+def parse_detector_input_hw(name: str) -> Tuple[int, int]:
+    m = DETECTOR_NAME_RE.search(name)
+    return (int(m.group("h")), int(m.group("w"))) if m else (480, 640)
+
+
+def parse_body_reid_input_hw(name: str) -> Tuple[int, int]:
+    m = REID_NAME_RE.search(name)
+    return (int(m.group("h")), int(m.group("w"))) if m else (256, 128)
+
+
+def _load_checkpoint(path: str) -> Optional[Any]:
+    if not path or not os.path.isdir(path):
+        return None
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def save_checkpoint(path: str, params: Any) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def build_bundle(
+    detector_name: str = DEFAULT_DETECTOR,
+    body_reid_name: str = DEFAULT_BODY_REID,
+    face_reid_name: str = DEFAULT_FACE_REID,
+    weights_dir: str = "weights",
+    mini: bool = False,
+    seed: int = 0,
+    dtype: Any = jnp.bfloat16,
+) -> ModelBundle:
+    """Construct the three models, restoring checkpoints when present.
+
+    Checkpoint layout: {weights_dir}/{model_file_stem}/ (orbax).
+    """
+    det_kw = MINI["detector"] if mini else dict(num_classes=4, depth=1.33,
+                                                width=1.25)
+    body_kw = MINI["body"] if mini else {}
+    face_kw = MINI["face"] if mini else {}
+    detector = YOLOX(dtype=dtype, **det_kw)
+    body = FastReIDSBS(dtype=dtype, **body_kw)
+    face = FaceReID(dtype=dtype, **face_kw)
+
+    rng = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    det_h, det_w = parse_detector_input_hw(detector_name)
+    body_h, body_w = parse_body_reid_input_hw(body_reid_name)
+    if mini:
+        det_h, det_w, body_h, body_w = 96, 128, 64, 32
+
+    def init_or_load(model, key, sample, name):
+        stem = os.path.splitext(os.path.basename(name))[0]
+        path = os.path.join(weights_dir, stem)
+        restored = None
+        try:
+            restored = _load_checkpoint(path)
+        except Exception as e:  # pragma: no cover - corrupt ckpt
+            print(yellow(f"WARNING: failed to restore {path}: {e}"))
+        if restored is not None:
+            return restored
+        print(yellow(
+            f"WARNING: no checkpoint at {path}; using random init "
+            f"(run tools/import_onnx.py to convert reference weights)"))
+        return model.init(key, sample)
+
+    det_params = init_or_load(
+        detector, k1, jnp.zeros((1, det_h, det_w, 3)), detector_name)
+    body_params = init_or_load(
+        body, k2, jnp.zeros((1, body_h, body_w, 3)), body_reid_name)
+    face_params = init_or_load(
+        face, k3, jnp.zeros((1, 128 if not mini else 32,
+                             128 if not mini else 32, 3)), face_reid_name)
+    return ModelBundle(
+        detector=detector, detector_params=det_params,
+        body_encoder=body, body_params=body_params,
+        face_encoder=face, face_params=face_params,
+    )

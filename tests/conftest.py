@@ -16,3 +16,16 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The environment's TPU plugin ("axon") ignores the JAX_PLATFORMS env var;
+# force the CPU backend explicitly so tests are hermetic and the
+# 8-virtual-device mesh is available.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: per-op compiles are slow in this
+# environment; the cache makes repeat test runs fast.
+from botsort_tpu.runtime.device import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()

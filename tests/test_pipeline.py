@@ -1,0 +1,67 @@
+"""End-to-end fused frame step on miniature models.
+
+Uses randomly initialized mini architectures: detections are meaningless,
+but the test verifies the full device program compiles and runs (resize,
+detect, NMS, hierarchy, crops, both encoders, cascade), shapes/dtypes of
+the readback, determinism, and that the host facade assembles a coherent
+track list + box hierarchy.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from botsort_tpu.config import NMSConfig, PipelineConfig, TrackerConfig
+from botsort_tpu.pipeline.host import BoTSORTPipeline
+from botsort_tpu.runtime.assets import build_bundle
+
+TRK = TrackerConfig(max_tracks=16, body_feature_dim=256,
+                    face_feature_dim=256)
+NMSC = NMSConfig(max_boxes_per_class=8, score_threshold=0.01)
+PIPE = PipelineConfig(detector_input_hw=(96, 128),
+                      body_reid_input_hw=(64, 32),
+                      face_reid_input_hw=(32, 32),
+                      max_reid_batch=4,
+                      track_target_classes=(0, 1, 2, 3))
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    bundle = build_bundle(mini=True)
+    return BoTSORTPipeline(bundle, TRK, NMSC, PIPE)
+
+
+def test_frame_step_runs_and_is_deterministic(pipeline):
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+
+    pipeline.reset()
+    tracks1 = [pipeline.update(frame) for _ in range(3)]
+    pipeline.reset()
+    tracks2 = [pipeline.update(frame) for _ in range(3)]
+
+    for a, b in zip(tracks1, tracks2):
+        assert len(a) == len(b)
+        for ta, tb in zip(a, b):
+            assert ta.track_id == tb.track_id
+            np.testing.assert_allclose(ta.tlbr, tb.tlbr, rtol=1e-6)
+
+
+def test_track_views_have_hierarchy_fields(pipeline):
+    rng = np.random.default_rng(1)
+    pipeline.reset()
+    tracks = []
+    for _ in range(4):
+        frame = rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+        tracks = pipeline.update(frame)
+    for t in tracks:
+        assert t.track_id >= 1
+        assert t.tlbr.shape == (4,)
+        assert t.tlwh.shape == (4,)
+        if t.body is not None:
+            assert t.body.trackid == t.track_id
+            assert t.body.classid == 0
+            if t.body.head is not None:
+                assert t.body.head.trackid == t.track_id
+                if t.body.head.face is not None:
+                    assert t.body.head.face.trackid == t.track_id
