@@ -1,0 +1,63 @@
+"""Pre-compile the pipeline into the persistent XLA cache.
+
+The analog of the reference's optimize_*_tensorrt_engine.sh scripts,
+which grind sit4onnx over every batch shape to populate the TensorRT
+engine cache (221 s for the detector, 24,284 s for body ReID batches
+1..100 — README.md:108-111). Our shapes are static, so warmup is ONE
+compile per (source resolution, model set) — minutes, not hours; later
+process starts hit the persistent cache (runtime/device.py).
+
+Run: python -m botsort_tpu.cli.warmup --resolutions 1080x1920 480x640
+"""
+
+from __future__ import annotations
+
+import time
+from argparse import ArgumentParser
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--resolutions", nargs="+", default=["1080x1920"],
+        help="Source frame HxW resolutions to precompile.")
+    parser.add_argument("--weights_dir", type=str, default="weights")
+    parser.add_argument("--mini", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from botsort_tpu.config import NMSConfig, PipelineConfig, TrackerConfig
+    from botsort_tpu.pipeline.frame_step import frame_step
+    from botsort_tpu.runtime.assets import build_bundle
+    from botsort_tpu.runtime.device import setup_compilation_cache
+    from botsort_tpu.track.state import empty_store
+    from botsort_tpu.utils.colors import green
+
+    cache = setup_compilation_cache()
+    bundle = build_bundle(weights_dir=args.weights_dir, mini=args.mini)
+    tracker_cfg = TrackerConfig() if not args.mini else TrackerConfig(
+        max_tracks=16, body_feature_dim=256, face_feature_dim=256)
+    nms_cfg = NMSConfig()
+    pipe_cfg = PipelineConfig() if not args.mini else PipelineConfig(
+        detector_input_hw=(96, 128), body_reid_input_hw=(64, 32),
+        face_reid_input_hw=(32, 32), max_reid_batch=4)
+
+    for res in args.resolutions:
+        h, w = (int(v) for v in res.split("x"))
+        frame = jnp.zeros((h, w, 3), jnp.uint8)
+        store = empty_store(tracker_cfg)
+        t0 = time.time()
+        store, result = frame_step(bundle, store, frame, tracker_cfg,
+                                   nms_cfg, pipe_cfg)
+        jax.block_until_ready(result.tracks.valid)
+        print(green(f"compiled {h}x{w} in {time.time() - t0:.1f}s "
+                    f"(cache: {cache})"))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

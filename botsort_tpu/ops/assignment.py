@@ -159,9 +159,37 @@ def solve_masked(
     cost_limit: scalar — lapjv cost_limit semantics as described above.
     """
     max_a, max_b = cost.shape
-    s = max_a + max_b
     cost = cost.astype(jnp.float32)
     cost_limit = jnp.asarray(cost_limit, dtype=jnp.float32)
+    empty = AssignmentResult(
+        col_for_row=jnp.full((max_a,), -1, jnp.int32),
+        row_for_col=jnp.full((max_b,), -1, jnp.int32),
+    )
+    # Fast path: one side empty -> nothing can match (lap returns all
+    # unmatched for size-0 problems, demo:1683-1684). The auction's
+    # hundreds of sequential bid rounds are skipped entirely — the
+    # cascade's pass 2 (low-score dets) and pass 3 (unconfirmed tracks)
+    # are empty on most frames.
+    degenerate = jnp.logical_or(
+        jnp.logical_not(jnp.any(row_valid)),
+        jnp.logical_not(jnp.any(col_valid)))
+    return jax.lax.cond(
+        degenerate,
+        lambda: empty,
+        lambda: _solve_masked_nonempty(cost, row_valid, col_valid,
+                                       cost_limit, max_iters),
+    )
+
+
+def _solve_masked_nonempty(
+    cost: jnp.ndarray,
+    row_valid: jnp.ndarray,
+    col_valid: jnp.ndarray,
+    cost_limit: jnp.ndarray,
+    max_iters: int,
+) -> AssignmentResult:
+    max_a, max_b = cost.shape
+    s = max_a + max_b
 
     finite_max = jnp.max(jnp.where(
         row_valid[:, None] & col_valid[None, :], jnp.abs(cost), 0.0))

@@ -26,8 +26,8 @@ from botsort_tpu.pipeline.frame_step import ModelBundle
 from botsort_tpu.utils.colors import yellow
 
 # Reference model names (demo:1902-1935) -> architecture hints.
-DETECTOR_NAME_RE = re.compile(
-    r"yolox_(?P<preset>[a-z]+)_.*_(?P<h>\d+)x(?P<w>\d+)")
+# Detector names embed NxCxHxW, e.g. "..._post_1x3x480x640_score015...".
+DETECTOR_NAME_RE = re.compile(r"x(?P<h>\d+)x(?P<w>\d+)(?:_|\.)")
 REID_NAME_RE = re.compile(
     r"(?P<train>mot\d+)_sbs_S50_NMx3x(?P<h>\d+)x(?P<w>\d+)")
 
