@@ -41,7 +41,7 @@ def main():
     nms_cfg = NMSConfig()
     pipe_cfg = PipelineConfig()
 
-    bundle = build_bundle(weights_dir="weights")
+    bundle = build_bundle(weights_dir="weights", fake_params=True)
     store = empty_store(tracker_cfg)
 
     rng = np.random.default_rng(0)

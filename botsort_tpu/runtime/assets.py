@@ -83,6 +83,7 @@ def build_bundle(
     mini: bool = False,
     seed: int = 0,
     dtype: Any = jnp.bfloat16,
+    fake_params: bool = False,
 ) -> ModelBundle:
     """Construct the three models, restoring checkpoints when present.
 
@@ -116,7 +117,15 @@ def build_bundle(
         print(yellow(
             f"WARNING: no checkpoint at {path}; using random init "
             f"(run tools/import_onnx.py to convert reference weights)"))
-        return model.init(key, sample)
+        if fake_params:
+            # Benchmarks: structurally correct zero params without
+            # running the eager init graph (identical compute cost).
+            shapes = jax.eval_shape(model.init, key, sample)
+            return jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        # jit(init): one compiled program instead of hundreds of eager
+        # per-op dispatches (slow over this env's device tunnel).
+        return jax.jit(model.init)(key, sample)
 
     det_params = init_or_load(
         detector, k1, jnp.zeros((1, det_h, det_w, 3)), detector_name)
