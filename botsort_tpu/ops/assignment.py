@@ -17,18 +17,21 @@ real column. A pair therefore matches iff keeping it is globally cheaper
 than sending both endpoints to the dummy region (combined price L) — which
 is how thresholded assignment behaves in BYTE/BoT-SORT.
 
-Our solver is the **auction algorithm** (Bertsekas) with epsilon scaling,
-in Jacobi (all-bidders-parallel) form: every iteration is a handful of
-[S, S] vectorized max/argmax reductions — VPU-friendly, no data-dependent
-shapes — inside a ``lax.while_loop``. Costs are quantized to an int32 grid
-(relative resolution 2^-26 * (S+1) of the cost range, ~1e-5 for the
-tracker's slot sizes) and the final epsilon is 1 grid unit; on integer
-costs with eps < 1/(S+1)-scaled units the auction returns the **exact**
-optimum — no float round-off can stall a bid. Exact cost ties may resolve
-differently than lapjv (both optimal). ``tests/test_assignment.py``
-validates against a scipy-based exact oracle, and
-``botsort_tpu.runtime.native`` provides a bit-exact C++ LAPJV for
-host-mode parity runs.
+Our solver is the **Jonker-Volgenant shortest-augmenting-path algorithm**
+(the same family lap.lapjv implements), formulated over static shapes:
+every Dijkstra step is masked [S]-wide vector work (relax one cost row,
+argmin over unvisited columns, potential updates) inside nested
+``lax.while_loop``s. Two structural choices keep the sequential step
+count tiny: (1) padding slots are PRE-MATCHED to designated dummy
+columns at zero potentials (their reduced costs are 0, so complementary
+slackness holds and no augmentation is spent on them); (2) dummy columns
+give every live row a cheap opt-out, so augmenting paths terminate after
+1-3 pops in the common case. Total sequential steps ~ 2-4x the number of
+live tracks+detections — not the padded size. The result is exact
+(ties may resolve to a different, equally optimal matching than lap's
+internal order). ``tests/test_assignment.py`` validates against a
+scipy-based exact oracle, and ``botsort_tpu.runtime.native`` provides a
+C++ LAPJV for host-mode use.
 
 Shapes are fully static: ``solve_masked`` takes a padded [MAX_A, MAX_B]
 cost matrix plus row/column validity masks, so the per-frame variation in
@@ -37,6 +40,7 @@ track/detection counts never changes the compiled program.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -58,90 +62,102 @@ class AssignmentResult(NamedTuple):
     row_for_col: jnp.ndarray
 
 
-def _auction_maximize_int(benefit: jnp.ndarray, max_iters: int) -> jnp.ndarray:
-    """Solve max-sum square assignment on integer (int32) benefits [S, S].
+_INF = jnp.float32(1e30)
 
-    Returns owner_row_for_col [S] int32. Jacobi auction with epsilon
-    scaling (factor 7) down to eps=1; prices persist across phases,
-    assignments reset. Exact optimum for scaled-integer benefits.
+
+def _jv_masked(ext: jnp.ndarray, parked: jnp.ndarray,
+               parked_col: jnp.ndarray, max_iters: int) -> jnp.ndarray:
+    """Exact square assignment on ext [S, S] (>= 0) via Jonker-Volgenant
+    shortest augmenting paths with dual potentials.
+
+    parked rows start matched to parked_col (distinct columns; reduced
+    cost 0 at zero potentials, so complementary slackness holds) and are
+    never augmented. Returns owner_row_for_col [S] int32.
     """
-    s = benefit.shape[0]
-    span = jnp.maximum(jnp.max(benefit) - jnp.min(benefit), 1)
-    eps0 = jnp.maximum(span // 2, 1)
-    # Number of scaling phases: eps0 / 7^k reaches 1.
-    num_phases = (
-        jnp.ceil(
-            jnp.log(eps0.astype(jnp.float32)) / jnp.log(7.0)
-        ).astype(jnp.int32)
-        + 1
+    s = ext.shape[0]
+    rows = jnp.arange(s, dtype=jnp.int32)
+    # p[j] = row matched to column j, -1 free.
+    p0 = (
+        jnp.full((s + 1,), -1, dtype=jnp.int32)
+        .at[jnp.where(parked, parked_col, s)]
+        .set(rows)[:s]
     )
-    rows = jnp.arange(s)
+    u0 = jnp.zeros((s,), jnp.float32)
+    v0 = jnp.zeros((s,), jnp.float32)
 
-    def phase_body(phase_state):
-        phase_idx, prices, _owner = phase_state
-        eps = jnp.maximum(
-            (eps0.astype(jnp.float32) / (7.0 ** phase_idx.astype(jnp.float32)))
-            .astype(jnp.int32),
-            1,
-        )
+    # Augment only live rows, in ascending index order (dynamic count —
+    # the sequential cost scales with live entities, not padded size).
+    live_order = jnp.sort(jnp.where(parked, s, rows))
+    n_live = jnp.sum(jnp.logical_not(parked))
 
-        def bid_round(state):
-            owner, row_assigned, prices, it = state
-            # Row i's value for column j at current prices.
-            values = benefit - prices[None, :]
-            values = jnp.where(row_assigned[:, None], _NEG, values)
-            best_j = jnp.argmax(values, axis=1)
-            best_v = jnp.max(values, axis=1)
-            masked = values.at[rows, best_j].set(_NEG)
-            second_v = jnp.max(masked, axis=1)
-            bid = prices[best_j] + (best_v - second_v) + eps
-            # Scatter bids; each contested column takes the highest.
-            live = jnp.logical_not(row_assigned)
-            bids = jnp.full((s, s), _NEG, dtype=jnp.int32)
-            bids = bids.at[rows, best_j].set(jnp.where(live, bid, _NEG))
-            col_best_bid = jnp.max(bids, axis=0)
-            col_winner = jnp.argmax(bids, axis=0).astype(jnp.int32)
-            col_has_bid = col_best_bid > _NEG // 2
+    def outer_body(st):
+        k, p, u, v = st
+        i = live_order[k]
 
-            new_prices = jnp.where(col_has_bid, col_best_bid, prices)
-            prev_owner = owner
-            new_owner = jnp.where(col_has_bid, col_winner, owner)
-            evict_rows = jnp.where(col_has_bid & (prev_owner >= 0),
-                                   prev_owner, s)
-            evicted = (
-                jnp.zeros((s + 1,), dtype=bool).at[evict_rows].set(True)[:s]
-            )
-            won = (
-                jnp.zeros((s + 1,), dtype=bool)
-                .at[jnp.where(col_has_bid, col_winner, s)]
-                .set(True)[:s]
-            )
-            new_assigned = (row_assigned & jnp.logical_not(evicted)) | won
-            return new_owner, new_assigned, new_prices, it + 1
+        def do_augment(p, u, v):
+            # Dijkstra from row i over columns; sentinel "from" col = s.
+            minv = jnp.full((s,), _INF)
+            way = jnp.full((s,), s, dtype=jnp.int32)
+            used = jnp.zeros((s,), dtype=bool)
+            on_path = jnp.zeros((s,), dtype=bool)  # rows whose u += delta
 
-        def bid_cond(state):
-            _, row_assigned, _, it = state
-            return jnp.logical_and(
-                jnp.logical_not(jnp.all(row_assigned)), it < max_iters
-            )
+            def pop_cond(st):
+                (_, _, _, _, _, _, _, done, it) = st
+                return jnp.logical_and(jnp.logical_not(done),
+                                       it < max_iters)
 
-        owner0 = jnp.full((s,), -1, dtype=jnp.int32)
-        assigned0 = jnp.zeros((s,), dtype=bool)
-        owner, _, prices, _ = jax.lax.while_loop(
-            bid_cond, bid_round, (owner0, assigned0, prices, jnp.int32(0))
-        )
-        return phase_idx + 1, prices, owner
+            def pop_body(st):
+                (minv, way, used, on_path, u, v, cur, done, it) = st
+                cur_row, j_from = cur
+                on_path = on_path.at[cur_row].set(True)
+                reduced = ext[cur_row] - u[cur_row] - v
+                upd = jnp.logical_not(used) & (reduced < minv)
+                minv = jnp.where(upd, reduced, minv)
+                way = jnp.where(upd, j_from, way)
+                masked = jnp.where(used, _INF, minv)
+                j1 = jnp.argmin(masked).astype(jnp.int32)
+                delta = masked[j1]
+                u = u + delta * on_path
+                v = v - delta * used
+                minv = jnp.where(used, minv, minv - delta)
+                used = used.at[j1].set(True)
+                nxt_row = p[j1]
+                done = nxt_row < 0
+                cur = (jnp.where(done, cur_row, nxt_row), j1)
+                return (minv, way, used, on_path, u, v, cur, done, it + 1)
 
-    def phase_cond(phase_state):
-        phase_idx, _, _ = phase_state
-        return phase_idx < num_phases
+            st = (minv, way, used, on_path, u, v,
+                  (i, jnp.int32(s)), jnp.bool_(False), jnp.int32(0))
+            (minv, way, used, on_path, u, v, cur, _, _) = (
+                jax.lax.while_loop(pop_cond, pop_body, st))
+            j_end = cur[1]
 
-    prices0 = jnp.zeros((s,), dtype=jnp.int32)
-    owner0 = jnp.full((s,), -1, dtype=jnp.int32)
-    _, _, owner = jax.lax.while_loop(
-        phase_cond, phase_body, (jnp.int32(0), prices0, owner0)
-    )
-    return owner
+            # Unwind the alternating path back to the sentinel.
+            def unwind_cond(st):
+                _, j0, it = st
+                return jnp.logical_and(j0 < s, it < max_iters)
+
+            def unwind_body(st):
+                p, j0, it = st
+                j1 = way[j0]
+                row = jnp.where(j1 >= s, i, p[jnp.minimum(j1, s - 1)])
+                p = p.at[j0].set(row)
+                return p, j1, it + 1
+
+            p, _, _ = jax.lax.while_loop(
+                unwind_cond, unwind_body, (p, j_end, jnp.int32(0)))
+            return p, u, v
+
+        p, u, v = do_augment(p, u, v)
+        return k + 1, p, u, v
+
+    def outer_cond(st):
+        k = st[0]
+        return k < n_live
+
+    _, p, _, _ = jax.lax.while_loop(
+        outer_cond, outer_body, (jnp.int32(0), p0, u0, v0))
+    return p
 
 
 @partial(jax.jit, static_argnames=("max_iters",))
@@ -215,12 +231,33 @@ def _solve_masked_nonempty(
     # Dummy-dummy block is 0 (lap: cost_c_extended[n:, m:] = 0).
     ext = jnp.where((row_idx >= max_a) & (col_idx >= max_b), 0.0, ext)
 
-    # Quantize to an int32 grid: ext/denom is in [0, ~3]; 2^26 / 4 units
-    # keeps |benefit| < 2^26 with bid arithmetic far from int32 overflow.
-    denom = jnp.maximum(jnp.maximum(finite_max, jnp.abs(cost_limit)), 1e-6)
-    unit = jnp.float32(2.0 ** 24)
-    ext_q = jnp.round(ext / denom * unit).astype(jnp.int32)
-    owner = _auction_maximize_int(-ext_q, max_iters)
+    # Designated parking: padding slots have all-equal options, so they
+    # are PRE-MATCHED before the solver runs — real row i to its
+    # dedicated dummy column max_b+i (cost 0 for invalid rows), and dummy
+    # row max_a+j to column j when j is an invalid column. Pre-matches
+    # at zero potentials satisfy complementary slackness (their reduced
+    # costs are 0 and all ext entries are >= 0), so the solver only
+    # augments for live rows.
+    rows_a = jnp.arange(max_a)
+    parked = jnp.concatenate([
+        jnp.logical_not(row_valid),
+        jnp.logical_not(col_valid),
+    ])
+    parked_col = jnp.concatenate([
+        max_b + rows_a, jnp.arange(max_b)]).astype(jnp.int32)
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("BOTSORT_TPU_PALLAS_LAP", "0") == "1"
+    )
+    if use_pallas:
+        # Fused Pallas kernel: same algorithm, all state in VMEM, no
+        # per-op issue overhead inside the Dijkstra loop. Opt-in while
+        # Mosaic nested-while support is validated on this platform.
+        from botsort_tpu.ops.assignment_pallas import jv_solve_pallas
+
+        owner = jv_solve_pallas(ext, parked, parked_col, max_iters)
+    else:
+        owner = _jv_masked(ext, parked, parked_col, max_iters)
 
     # owner[j] = row assigned to column j in the square problem.
     cols = jnp.arange(s)

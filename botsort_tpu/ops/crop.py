@@ -55,25 +55,38 @@ def crop_and_resize(
 
     y0 = jnp.floor(sy)
     x0 = jnp.floor(sx)
-    wy = (sy - y0)[:, :, None, None]          # [N, out_h, 1, 1]
-    wx = (sx - x0)[:, None, :, None]          # [N, 1, out_w, 1]
+    wy = sy - y0                               # [N, out_h]
+    wx = sx - x0                               # [N, out_w]
     y0 = y0.astype(jnp.int32)
     x0 = x0.astype(jnp.int32)
     y1i = jnp.minimum(y0 + 1, img_h - 1)
     x1i = jnp.minimum(x0 + 1, img_w - 1)
 
+    # Bilinear resize is a separable linear map, so the whole batched
+    # crop-resize is TWO matmul contractions on the MXU instead of ~2M
+    # random-access gathers (which are ~20x slower on TPU):
+    #   Wx [N, out_w, W] (two taps per row), Wy [N, out_h, H]
+    #   out[n, r, x, c] = Wy[n, r, :] @ img[:, :, c] @ Wx[n, x, :]^T
+    # Horizontal first (cheaper contraction order for tall sources).
     img = image.astype(jnp.float32)
+    col_ids = jnp.arange(img_w, dtype=jnp.int32)
+    wx_mat = (
+        (col_ids[None, None, :] == x0[:, :, None]) * (1.0 - wx[:, :, None])
+        + (col_ids[None, None, :] == x1i[:, :, None]) * wx[:, :, None]
+    ).astype(jnp.float32)                       # [N, out_w, W]
+    # (When x0 == x1i at the clamped edge the two one-hot terms target the
+    # same column and sum to (1-wx)+wx = 1 — no special-casing needed.)
 
-    def gather(yi, xi):
-        # yi: [N, out_h]; xi: [N, out_w] -> [N, out_h, out_w, 3] via one
-        # broadcasted XLA gather over the (H, W) dims.
-        return img[yi[:, :, None], xi[:, None, :]]
+    row_ids = jnp.arange(img_h, dtype=jnp.int32)
+    wy_mat = (
+        (row_ids[None, None, :] == y0[:, :, None]) * (1.0 - wy[:, :, None])
+        + (row_ids[None, None, :] == y1i[:, :, None]) * wy[:, :, None]
+    ).astype(jnp.float32)                       # [N, out_h, H]
 
-    p00 = gather(y0, x0)
-    p01 = gather(y0, x1i)
-    p10 = gather(y1i, x0)
-    p11 = gather(y1i, x1i)
-    top = p00 * (1.0 - wx) + p01 * wx
-    bot = p10 * (1.0 - wx) + p11 * wx
-    out = top * (1.0 - wy) + bot * wy
+    # [N, out_w, W] x [H, W, 3] -> [N, H, out_w, 3]
+    tmp = jnp.einsum("nxw,hwc->nhxc", wx_mat, img,
+                     preferred_element_type=jnp.float32)
+    # [N, out_h, H] x [N, H, out_w, 3] -> [N, out_h, out_w, 3]
+    out = jnp.einsum("nrh,nhxc->nrxc", wy_mat, tmp,
+                     preferred_element_type=jnp.float32)
     return jnp.where(good[:, None, None, None], out, 0.0)

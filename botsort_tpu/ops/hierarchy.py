@@ -74,3 +74,61 @@ def greedy_assign(
     used0 = jnp.logical_not(target_valid)
     _, picks = jax.lax.scan(step, used0, jnp.arange(b))
     return tuple(picks[:, r] for r in range(rounds))
+
+
+def greedy_assign_batch(problems):
+    """Run several independent greedy_assign problems in ONE scan.
+
+    problems: list of (base_tlbr [B,4], base_valid [B], target_tlbr [T,4],
+    target_valid [T], rounds) with identical B, T and max rounds R. The
+    per-base sequential claiming of all problems advances in lockstep —
+    one [P, ...]-vectorized scan instead of P scans (the frame step runs
+    faces->heads, heads->bodies, hands->bodies; sequential-scan steps are
+    the expensive unit on TPU, so batching them is ~P x cheaper).
+
+    Returns a list of tuples of pick arrays (as greedy_assign).
+    """
+    p = len(problems)
+    b = problems[0][0].shape[0]
+    max_rounds = max(pr[4] for pr in problems)
+    base = jnp.stack([pr[0] for pr in problems])            # [P, B, 4]
+    base_valid = jnp.stack([pr[1] for pr in problems])      # [P, B]
+    target = jnp.stack([pr[2] for pr in problems])          # [P, T, 4]
+    target_valid = jnp.stack([pr[3] for pr in problems])    # [P, T]
+    # Rounds beyond a problem's own count claim nothing (round mask).
+    round_active = jnp.asarray(
+        [[r < pr[4] for r in range(max_rounds)] for pr in problems])
+
+    iou = jax.vmap(iou_matrix)(base, target)                # [P, B, T]
+    iou = jnp.where(base_valid[:, :, None] & target_valid[:, None, :],
+                    iou, 0.0)
+    bc = (base[..., :2] + base[..., 2:4]) / 2.0
+    tc = (target[..., :2] + target[..., 2:4]) / 2.0
+    dist = jnp.linalg.norm(bc[:, :, None, :] - tc[:, None, :, :], axis=-1)
+
+    def claim(used, bi, active):
+        row_iou = jnp.where(used, 0.0, iou[:, bi, :])       # [P, T]
+        best_iou = jnp.max(row_iou, axis=-1, keepdims=True)
+        cand = (row_iou == best_iou) & (best_iou > 0.0)
+        row_d = jnp.where(cand, dist[:, bi, :], jnp.inf)
+        choice = jnp.argmin(row_d, axis=-1).astype(jnp.int32)
+        found = (best_iou[:, 0] > 0.0) & active
+        choice = jnp.where(found, choice, -1)
+        claim_mask = (
+            jnp.arange(used.shape[-1])[None, :]
+            == jnp.maximum(choice, 0)[:, None]) & found[:, None]
+        return used | claim_mask, choice
+
+    def step(used, bi):
+        picks = []
+        for r in range(max_rounds):
+            used, choice = claim(used, bi, round_active[:, r])
+            picks.append(choice)
+        return used, jnp.stack(picks, axis=-1)              # [P, R]
+
+    used0 = jnp.logical_not(target_valid)
+    _, picks = jax.lax.scan(step, used0, jnp.arange(b))     # [B, P, R]
+    out = []
+    for pi, pr in enumerate(problems):
+        out.append(tuple(picks[:, pi, r] for r in range(pr[4])))
+    return out

@@ -134,16 +134,20 @@ def frame_step(
 
     bodies, heads, hands, faces = 0, 1, 2, 3
     # --- Box hierarchy (demo:1372-1411): faces->heads, heads->bodies,
-    # hands->bodies (two rounds, interleaved per body).
-    (face_for_head,) = hierarchy.greedy_assign(
-        det_boxes[heads], det_valid[heads],
-        det_boxes[faces], det_valid[faces])
-    (head_for_body,) = hierarchy.greedy_assign(
-        det_boxes[bodies], det_valid[bodies],
-        det_boxes[heads], det_valid[heads])
-    hand1_for_body, hand2_for_body = hierarchy.greedy_assign(
-        det_boxes[bodies], det_valid[bodies],
-        det_boxes[hands], det_valid[hands], rounds=2)
+    # hands->bodies (two rounds, interleaved per body). The three
+    # problems touch disjoint target sets, so they run in one batched
+    # scan (sequential steps are the costly unit on TPU).
+    results = hierarchy.greedy_assign_batch([
+        (det_boxes[heads], det_valid[heads],
+         det_boxes[faces], det_valid[faces], 1),
+        (det_boxes[bodies], det_valid[bodies],
+         det_boxes[heads], det_valid[heads], 1),
+        (det_boxes[bodies], det_valid[bodies],
+         det_boxes[hands], det_valid[hands], 2),
+    ])
+    (face_for_head,) = results[0]
+    (head_for_body,) = results[1]
+    hand1_for_body, hand2_for_body = results[2]
 
     # --- ReID crops for the first R body slots (score-ordered by NMS).
     r = pipe_cfg.max_reid_batch
