@@ -3,8 +3,14 @@
 Measures steady-state frames/second of the FULL fused pipeline — resize,
 YOLOX-X detection (1x3x480x640, the reference's flagship detector input),
 NMS, hierarchy, 16-crop FastReID SBS-S50 + face-ReID encoders, and the
-association cascade — on synthetic 1080p BGR frames (weights are randomly
-initialized; compute cost is identical to trained weights).
+association cascade — on synthetic 1080p BGR frames.
+
+Weights are randomly initialized (identical compute cost to trained
+weights). To make the tracker do REAL work (live tracks, non-empty
+assignment problems, KF updates, ReID cost fusion) rather than idling on
+an empty scene, the headline config lowers the score thresholds so every
+frame carries a full detection load through the cascade; the empty-scene
+number is also reported.
 
 Baseline: the reference publishes no FPS table (BASELINE.md); its
 operating point is real-time 30 FPS on an RTX-30xx with TensorRT fp16
@@ -12,16 +18,41 @@ engines (latency overlays in its demo videos, README.md:41-163).
 ``vs_baseline`` is therefore measured FPS / 30.
 
 Prints ONE JSON line:
-  {"metric": "e2e_tracked_fps_480x640", "value": N, "unit": "fps",
-   "vs_baseline": N/30, ...}
+  {"metric": "...", "value": N, "unit": "fps", "vs_baseline": N/30, ...}
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
 import numpy as np
+
+
+def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
+               empty_store, n=60):
+    import jax
+
+    store = empty_store(tracker_cfg)
+    t0 = time.time()
+    store, result = frame_step(bundle, store, frames[0], tracker_cfg,
+                               nms_cfg, pipe_cfg)
+    jax.block_until_ready(result.tracks.valid)
+    compile_s = time.time() - t0
+    # Warm a few steady-state frames.
+    for i in range(3):
+        store, result = frame_step(bundle, store, frames[i % len(frames)],
+                                   tracker_cfg, nms_cfg, pipe_cfg)
+    jax.block_until_ready(result.tracks.valid)
+    t0 = time.perf_counter()
+    for i in range(n):
+        store, result = frame_step(bundle, store, frames[i % len(frames)],
+                                   tracker_cfg, nms_cfg, pipe_cfg)
+    jax.block_until_ready(result.tracks.valid)
+    dt = time.perf_counter() - t0
+    n_tracks = int(np.asarray(result.tracks.valid).sum())
+    return n / dt, compile_s, n_tracks
 
 
 def main():
@@ -37,48 +68,45 @@ def main():
     setup_compilation_cache()
     backend = jax.default_backend()
 
-    tracker_cfg = TrackerConfig()
     nms_cfg = NMSConfig()
     pipe_cfg = PipelineConfig()
-
     bundle = build_bundle(weights_dir="weights", fake_params=True)
-    store = empty_store(tracker_cfg)
 
     rng = np.random.default_rng(0)
-    # 1080p source frames (the reference demos stream 1080p mp4s).
     frames = [
         jnp.asarray(rng.integers(0, 255, (1080, 1920, 3), dtype=np.uint8))
         for _ in range(4)
     ]
 
-    # Warmup / compile.
-    t0 = time.time()
-    store, result = frame_step(bundle, store, frames[0], tracker_cfg,
-                               nms_cfg, pipe_cfg)
-    jax.block_until_ready(result.tracks.valid)
-    compile_s = time.time() - t0
+    # Loaded config: zero-init weights emit uniform 0.25 class scores, so
+    # thresholds at 0.2 put a full 16-detection load with a live track
+    # pool through every cascade pass.
+    loaded_cfg = TrackerConfig(
+        det_score_threshold=0.2, track_high_thresh=0.15,
+        track_low_thresh=0.05, new_track_thresh=0.2)
+    fps_loaded, compile_s, n_tracks = run_config(
+        frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
+        empty_store)
 
-    # Steady state: issue frames back-to-back, sync at the end.
-    n = 50
-    t0 = time.perf_counter()
-    for i in range(n):
-        store, result = frame_step(bundle, store, frames[i % len(frames)],
-                                   tracker_cfg, nms_cfg, pipe_cfg)
-    jax.block_until_ready(result.tracks.valid)
-    dt = time.perf_counter() - t0
-    fps = n / dt
+    # Reference-default config (empty scene with random weights).
+    fps_empty, _, _ = run_config(
+        frame_step, bundle, TrackerConfig(), nms_cfg, pipe_cfg, frames,
+        empty_store)
 
     print(json.dumps({
-        "metric": "e2e_tracked_fps_480x640",
-        "value": round(fps, 2),
+        "metric": "e2e_tracked_fps_480x640_loaded",
+        "value": round(fps_loaded, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(fps_loaded / 30.0, 3),
         "backend": backend,
         "compile_s": round(compile_s, 1),
-        "frame_ms": round(1000.0 / fps, 3),
-        "notes": "full pipeline: YOLOX-X det + 16x SBS-S50 body ReID + "
-                 "face ReID + fused cascade, 1080p source frames, "
-                 "baseline=30fps RTX-30xx TRT reference operating point",
+        "frame_ms": round(1000.0 / fps_loaded, 3),
+        "live_tracks": n_tracks,
+        "empty_scene_fps": round(fps_empty, 2),
+        "notes": "full pipeline under load: YOLOX-X det + 16x SBS-S50 "
+                 "body ReID + face ReID + fused cascade with live track "
+                 "pool, 1080p source frames; baseline=30fps RTX-30xx TRT "
+                 "reference operating point",
     }))
 
 
