@@ -82,6 +82,11 @@ def build_parser() -> ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # Fail fast on a bad video path (model construction takes minutes;
+    # don't pay it for a typo). Camera indices are checked at open time.
+    if not args.video.isdigit() and not os.path.isfile(args.video):
+        print(f"ERROR: video file not found: {args.video}")
+        return 1
     if args.execution_provider == "cpu":
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
     setup_compilation_cache()
