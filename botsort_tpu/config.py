@@ -59,7 +59,10 @@ class TrackerConfig:
     feature_ema_alpha: float = 0.90   # smooth-feature EMA (demo:473)
     det_score_threshold: float = 0.35  # YOLOX class_score_th (demo:746,862)
     # Fixed slot counts (static shapes).
-    max_tracks: int = 128             # live (tracked+lost+unconfirmed) slots
+    # 64 slots comfortably covers tracked+lost+unconfirmed for <=16
+    # detections/frame (the assignment kernel's cost scales with the
+    # padded width, so don't oversize; raise for crowded scenes).
+    max_tracks: int = 64              # live (tracked+lost+unconfirmed) slots
     max_dets: int = 56                # per-class detection slots fed to tracker
     body_feature_dim: int = 2048      # FastReID SBS-S50 embedding dim
     face_feature_dim: int = 256       # face-reidentification-retail-0095 dim

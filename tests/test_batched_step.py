@@ -1,0 +1,57 @@
+"""frame_step_batched vs independent single-stream frame_step runs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from botsort_tpu.config import NMSConfig, PipelineConfig, TrackerConfig
+from botsort_tpu.pipeline.frame_step import frame_step, frame_step_batched
+from botsort_tpu.runtime.assets import build_bundle
+from botsort_tpu.track.state import empty_store
+
+TRK = TrackerConfig(max_tracks=16, body_feature_dim=256,
+                    face_feature_dim=256)
+NMSC = NMSConfig(max_boxes_per_class=8, score_threshold=0.01)
+PIPE = PipelineConfig(detector_input_hw=(96, 128),
+                      body_reid_input_hw=(64, 32),
+                      face_reid_input_hw=(32, 32),
+                      max_reid_batch=4)
+
+B = 2
+
+
+def test_batched_matches_single_stream():
+    bundle = build_bundle(mini=True)
+    rng = np.random.default_rng(0)
+    all_frames = [
+        rng.integers(0, 255, (B, 120, 160, 3), dtype=np.uint8)
+        for _ in range(3)
+    ]
+
+    one = empty_store(TRK)
+    stores = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                          one)
+    batched_out = []
+    for f in all_frames:
+        stores, res = frame_step_batched(bundle, stores, jnp.asarray(f),
+                                         TRK, NMSC, PIPE)
+        batched_out.append(jax.device_get(res.tracks))
+
+    for s in range(B):
+        store = empty_store(TRK)
+        for t, f in enumerate(all_frames):
+            store, res = frame_step(bundle, store, jnp.asarray(f[s]),
+                                    TRK, NMSC, PIPE)
+            ref = jax.device_get(res.tracks)
+            np.testing.assert_array_equal(batched_out[t].valid[s],
+                                          ref.valid)
+            np.testing.assert_array_equal(
+                batched_out[t].track_id[s][ref.valid],
+                ref.track_id[ref.valid])
+            np.testing.assert_allclose(
+                batched_out[t].tlbr[s][ref.valid],
+                ref.tlbr[ref.valid], rtol=1e-5, atol=1e-3)
+            np.testing.assert_array_equal(
+                batched_out[t].det_index[s][ref.valid],
+                ref.det_index[ref.valid])
