@@ -78,30 +78,83 @@ def extract_onnx_layers(onnx_model):
             w = init.get(node.input[1])
             if w is None:
                 continue
-            layers.append(("gemm", {"kernel": w}))
+            b = init.get(node.input[2]) if len(node.input) > 2 else None
+            layers.append(("gemm", {"kernel": w, "bias": b}))
     return layers
 
 
 def assign(flax_entries, onnx_layers):
     """Greedy in-order assignment with shape verification.
 
-    Returns {path: np.ndarray}. Raises on any shape mismatch.
+    Returns {path: np.ndarray}. Raises on any shape mismatch so a
+    silent misload is impossible.
     """
     out = {}
-    conv_kernels = [(p, l) for p, l in flax_entries if p.endswith("kernel")
-                    and l.ndim == 4]
+
+    def take(kind_name, flax_list, onnx_list, emit):
+        if len(flax_list) != len(onnx_list):
+            raise ValueError(
+                f"{kind_name} count mismatch: flax {len(flax_list)} vs "
+                f"onnx {len(onnx_list)} — architectures differ")
+        for (path, leaf), arrs in zip(flax_list, onnx_list):
+            for sub_path, w in emit(path, arrs):
+                ref = dict(flax_entries)[sub_path]
+                if tuple(w.shape) != tuple(ref.shape):
+                    raise ValueError(
+                        f"{sub_path}: flax {ref.shape} vs onnx {w.shape}")
+                out[sub_path] = w
+
+    # Convolutions: OIHW -> HWIO (grouped convs keep the transpose:
+    # ONNX (O, I/g, kH, kW) -> flax (kH, kW, I/g, O)).
+    conv_kernels = [(p, l) for p, l in flax_entries
+                    if p.endswith("kernel") and l.ndim == 4]
     onnx_convs = [a for k, a in onnx_layers if k == "conv"]
-    if len(conv_kernels) != len(onnx_convs):
-        raise ValueError(
-            f"conv count mismatch: flax {len(conv_kernels)} vs onnx "
-            f"{len(onnx_convs)} — architectures differ")
-    for (path, leaf), arrs in zip(conv_kernels, onnx_convs):
-        w = np.transpose(arrs["kernel"], (2, 3, 1, 0))  # OIHW->HWIO
-        if w.shape != leaf.shape:
-            raise ValueError(f"{path}: flax {leaf.shape} vs onnx {w.shape}")
-        out[path] = w
-    # BN and Dense analogous; full mapping finalized against the actual
-    # reference graphs once the onnx package is available.
+    take("conv", conv_kernels, onnx_convs, lambda path, arrs: (
+        [(path, np.transpose(arrs["kernel"], (2, 3, 1, 0)))]
+        + ([(path.rsplit("/", 1)[0] + "/bias", arrs["bias"])]
+           if arrs["bias"] is not None
+           and (path.rsplit("/", 1)[0] + "/bias") in dict(flax_entries)
+           else [])))
+
+    # BatchNormalization: (scale, B, mean, var) -> flax BatchNorm
+    # (scale, bias, batch_stats mean/var). Flax stores these as four
+    # separate leaves under .../BatchNorm_i/{scale,bias} and
+    # batch_stats/.../{mean,var}; match by natural order of scale paths.
+    bn_scales = [(p, l) for p, l in flax_entries
+                 if "/BatchNorm_" in p and p.endswith("scale")]
+    onnx_bns = [a for k, a in onnx_layers if k == "bn"]
+
+    def emit_bn(path, arrs):
+        base = path.rsplit("/", 1)[0]
+        stats_base = base.replace("params/", "batch_stats/", 1)
+        return [
+            (base + "/scale", arrs["scale"]),
+            (base + "/bias", arrs["bias"]),
+            (stats_base + "/mean", arrs["mean"]),
+            (stats_base + "/var", arrs["var"]),
+        ]
+
+    take("batchnorm", bn_scales, onnx_bns, emit_bn)
+
+    # Dense / Gemm: ONNX Gemm weight is (out, in) (transB=1 convention);
+    # MatMul weight is (in, out). Flax Dense kernels are (in, out).
+    dense_kernels = [(p, l) for p, l in flax_entries
+                     if ("/Dense_" in p and p.endswith("kernel"))
+                     and l.ndim == 2]
+    onnx_dense = [a for k, a in onnx_layers if k == "gemm"]
+
+    def emit_dense(path, arrs):
+        w = arrs["kernel"]
+        ref = dict(flax_entries)[path]
+        if tuple(w.shape) != tuple(ref.shape):
+            w = np.transpose(w)
+        entries = [(path, w)]
+        bias_path = path.rsplit("/", 1)[0] + "/bias"
+        if arrs.get("bias") is not None and bias_path in dict(flax_entries):
+            entries.append((bias_path, arrs["bias"]))
+        return entries
+
+    take("dense", dense_kernels, onnx_dense, emit_dense)
     return out
 
 
