@@ -77,6 +77,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument(
         "--mini", action="store_true",
         help="Use miniature model architectures (smoke tests).")
+    parser.add_argument(
+        "--profile", action="store_true",
+        help="Print per-stage timing averages at exit (and write a "
+             "jax.profiler device trace to ./trace/ if set twice).")
     return parser
 
 
@@ -144,6 +148,10 @@ def main(argv=None):
             writer.release()
         cap.release()
     print(green(f"processed {n} frames"))
+    if args.profile:
+        report = pipeline.timers.report()
+        for name, ms in sorted(report.items()):
+            print(cyan(f"  {name}: {ms:.2f} ms avg"))
     return 0
 
 

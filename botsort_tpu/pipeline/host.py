@@ -61,18 +61,27 @@ class BoTSORTPipeline:
         self.pipe_cfg = pipe_cfg
         self.store = empty_store(tracker_cfg)
         self.frame_id = 0
+        from botsort_tpu.utils.profiling import StageTimers
+
+        self.timers = StageTimers()
 
     def reset(self):
         self.store = empty_store(self.tracker_cfg)
         self.frame_id = 0
+        self.timers.reset()
 
     def update(self, frame_bgr: np.ndarray) -> List[STrackView]:
         """One frame. frame_bgr: [H, W, 3] uint8 (OpenCV layout)."""
         self.frame_id += 1
-        self.store, result = frame_step(
-            self.bundle, self.store, jnp.asarray(frame_bgr),
-            self.tracker_cfg, self.nms_cfg, self.pipe_cfg)
-        return self._assemble(jax.device_get(result))
+        with self.timers.stage("upload"):
+            frame_dev = jnp.asarray(frame_bgr)
+        with self.timers.stage("device_step"):
+            self.store, result = frame_step(
+                self.bundle, self.store, frame_dev,
+                self.tracker_cfg, self.nms_cfg, self.pipe_cfg)
+            result_host = jax.device_get(result)
+        with self.timers.stage("assemble"):
+            return self._assemble(result_host)
 
     def _assemble(self, res) -> List[STrackView]:
         tc = self.pipe_cfg.track_target_classes
