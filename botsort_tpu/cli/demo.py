@@ -78,6 +78,10 @@ def build_parser() -> ArgumentParser:
         "--mini", action="store_true",
         help="Use miniature model architectures (smoke tests).")
     parser.add_argument(
+        "--gmc", action="store_true",
+        help="Enable camera-motion compensation (sparse-flow estimator; "
+             "the reference's multi_gmc is dead code — we implement it).")
+    parser.add_argument(
         "--profile", action="store_true",
         help="Print per-stage timing averages at exit (and write a "
              "jax.profiler device trace to ./trace/ if set twice).")
@@ -112,6 +116,7 @@ def main(argv=None):
             args.body_feature_extractor_model) if not args.mini else (64, 32),
         face_reid_input_hw=(128, 128) if not args.mini else (32, 32),
         track_target_classes=tuple(args.track_target_classes),
+        enable_gmc=args.gmc,
     )
     tracker_cfg = TrackerConfig(
         body_feature_dim=2048 if not args.mini else 256,

@@ -91,9 +91,14 @@ class PipelineConfig:
     max_reid_batch: int = 16
     # Compute dtype for the neural nets (tracker math stays float32).
     compute_dtype: str = "bfloat16"
-    # track classes to emit (the README documents -tc/--track_target_classes
-    # but the reference never implements it — README.md:71,86-88; we do).
-    track_target_classes: Tuple[int, ...] = (0,)
+    # Classes to emit in outputs/drawing (the README documents
+    # -tc/--track_target_classes but the reference never implements it —
+    # README.md:71,86-88; we do). Default matches the reference's
+    # draw-everything behavior.
+    track_target_classes: Tuple[int, ...] = (0, 1, 2, 3)
+    # Camera-motion compensation (the reference's multi_gmc is dead code,
+    # demo:1534-1536; we provide a working estimator — io/gmc.py).
+    enable_gmc: bool = False
 
 
 DEFAULT_NMS = NMSConfig()

@@ -163,6 +163,33 @@ def gating_distance(
     return jnp.sum(d[..., :n] * d[..., :n] * w[..., :n], axis=-1)
 
 
+def apply_affine(
+    mean: jnp.ndarray, cov: jnp.ndarray, affine_2x3: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Camera-motion compensation: apply a 2x3 affine to track states.
+
+    Equivalent of the reference's ``multi_gmc`` (demo:538-554: mean' =
+    kron(I4, R) mean + t; cov' = R8 cov R8^T) for the scalar-form store.
+    The position/velocity/size components transform exactly. For the
+    covariance, the similarity-transform scale s = |det R|^(1/2) is
+    applied exactly (s^2 per block); the rotation part mixes the x/y
+    blocks, which the independent-pairs form cannot represent — for the
+    small inter-frame rotations GMC produces (<~1 deg) the mixing terms
+    are O(sin^2 theta) and are dropped. mean [..., 8], cov [..., 4, 3].
+    """
+    r = affine_2x3[:, :2]
+    t = affine_2x3[:, 2]
+    s = jnp.sqrt(jnp.abs(r[0, 0] * r[1, 1] - r[0, 1] * r[1, 0]))
+
+    pos_xy = mean[..., 0:2] @ r.T + t
+    wh = mean[..., 2:4] * s
+    vel_xy = mean[..., 4:6] @ r.T
+    vwh = mean[..., 6:8] * s
+    new_mean = jnp.concatenate([pos_xy, wh, vel_xy, vwh], axis=-1)
+    new_cov = cov * (s * s)
+    return new_mean, new_cov
+
+
 def cov_to_dense(cov: jnp.ndarray) -> jnp.ndarray:
     """Expand scalar-form covariance [..., 4, 3] to dense [..., 8, 8].
 

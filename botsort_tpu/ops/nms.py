@@ -66,17 +66,34 @@ def nms_single_class(
     top_valid = top_s > neg
 
     iou = iou_matrix(top_boxes, top_boxes)
-    # suppressed[j] if any kept i < j (higher score) has IoU > thresh.
-    overlap = (iou > iou_threshold) & top_valid[:, None] & top_valid[None, :]
+    # dominates[i, j]: higher-ranked box i suppresses j if kept.
+    rank = jnp.arange(p)
+    dominates = (
+        (iou > iou_threshold)
+        & (rank[:, None] < rank[None, :])
+        & top_valid[:, None] & top_valid[None, :]
+    )
 
-    def step(kept, i):
-        # Box i survives iff no higher-ranked kept box suppresses it.
-        sup = jnp.any(kept & overlap[:, i])
-        keep_i = top_valid[i] & jnp.logical_not(sup)
-        return kept.at[i].set(keep_i), keep_i
+    # Greedy NMS as a fixpoint: keep[j] = valid[j] and no kept dominator.
+    # Iterating from keep0=valid converges to the unique greedy solution
+    # in <= (longest suppression chain) iterations — each iteration is
+    # ONE [P, P] masked reduction instead of P sequential scan steps
+    # (the dependency graph is a DAG ordered by rank; after t iterations
+    # every box whose longest dominator chain is <= t is final).
+    def fix_cond(st):
+        keep, prev, it = st
+        return jnp.logical_and(jnp.any(keep != prev), it < p)
 
-    kept0 = jnp.zeros((p,), dtype=bool)
-    _, keep = jax.lax.scan(step, kept0, jnp.arange(p))
+    def fix_body(st):
+        keep, _, it = st
+        new = top_valid & jnp.logical_not(
+            jnp.any(dominates & keep[:, None], axis=0))
+        return new, keep, it + 1
+
+    keep0 = top_valid
+    keep, _, _ = jax.lax.while_loop(
+        fix_cond, fix_body,
+        (keep0, jnp.logical_not(keep0), jnp.int32(0)))
 
     # Compact the first K survivors (score order) into fixed slots.
     rank = jnp.cumsum(keep) - 1

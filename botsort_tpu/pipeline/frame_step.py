@@ -108,9 +108,11 @@ def frame_step(
     tracker_cfg: TrackerConfig,
     nms_cfg: NMSConfig,
     pipe_cfg: PipelineConfig,
+    gmc_affine: jnp.ndarray | None = None,
 ) -> Tuple[TrackStore, FrameResult]:
     """frame_bgr: [H, W, 3] uint8 (OpenCV layout). Returns updated store
-    plus the per-frame readback."""
+    plus the per-frame readback. gmc_affine: optional host-estimated
+    [2, 3] camera-motion matrix (io/gmc.py)."""
     src_h, src_w = frame_bgr.shape[0], frame_bgr.shape[1]
     in_h, in_w = pipe_cfg.detector_input_hw
 
@@ -177,7 +179,7 @@ def frame_step(
     # --- Association cascade.
     store, tracks = tracker_update(
         store, body_tlbr, body_scores, body_valid, body_feats, face_feats,
-        tracker_cfg)
+        tracker_cfg, gmc_affine)
 
     result = FrameResult(
         det_boxes=det_boxes,

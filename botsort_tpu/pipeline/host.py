@@ -64,21 +64,33 @@ class BoTSORTPipeline:
         from botsort_tpu.utils.profiling import StageTimers
 
         self.timers = StageTimers()
+        self.gmc = None
+        if pipe_cfg.enable_gmc:
+            from botsort_tpu.io.gmc import GMCEstimator
+
+            self.gmc = GMCEstimator()
 
     def reset(self):
         self.store = empty_store(self.tracker_cfg)
         self.frame_id = 0
         self.timers.reset()
+        if self.gmc is not None:
+            self.gmc.reset()
 
     def update(self, frame_bgr: np.ndarray) -> List[STrackView]:
         """One frame. frame_bgr: [H, W, 3] uint8 (OpenCV layout)."""
         self.frame_id += 1
+        gmc_affine = None
+        if self.gmc is not None:
+            with self.timers.stage("gmc"):
+                gmc_affine = jnp.asarray(self.gmc.estimate(frame_bgr))
         with self.timers.stage("upload"):
             frame_dev = jnp.asarray(frame_bgr)
         with self.timers.stage("device_step"):
             self.store, result = frame_step(
                 self.bundle, self.store, frame_dev,
-                self.tracker_cfg, self.nms_cfg, self.pipe_cfg)
+                self.tracker_cfg, self.nms_cfg, self.pipe_cfg,
+                gmc_affine)
             result_host = jax.device_get(result)
         with self.timers.stage("assemble"):
             return self._assemble(result_host)

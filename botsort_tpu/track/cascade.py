@@ -90,6 +90,7 @@ def tracker_update(
     det_body_feat: jnp.ndarray,
     det_face_feat: jnp.ndarray,
     cfg: TrackerConfig,
+    gmc_affine: jnp.ndarray | None = None,
 ) -> Tuple[TrackStore, TrackOutputs]:
     """One tracker frame. All det_* arrays are padded to [D] slots.
 
@@ -98,6 +99,10 @@ def tracker_update(
     det_body_feat: [D, Db] L2-normalized; det_face_feat: [D, Df]
       L2-normalized (zero-face-image embedding when the body has no face,
       as in the reference, demo:1437-1441).
+    gmc_affine: optional [2, 3] camera-motion matrix (prev->current
+      frame); applied to pool + unconfirmed states after predict — the
+      reference's multi_gmc call sites, which it left commented out
+      (demo:1534-1536); see ops/kalman.py::apply_affine.
     """
     n = store.state.shape[0]
     frame = store.frame_count + 1
@@ -114,6 +119,12 @@ def tracker_update(
     mean_p, cov_p = kalman.predict(mean_z, store.cov)
     mean = jnp.where(pool_m[:, None], mean_p, store.mean)
     cov = jnp.where(pool_m[:, None, None], cov_p, store.cov)
+
+    if gmc_affine is not None:
+        gmc_m = pool_m | unconfirmed_m
+        mean_g, cov_g = kalman.apply_affine(mean, cov, gmc_affine)
+        mean = jnp.where(gmc_m[:, None], mean_g, mean)
+        cov = jnp.where(gmc_m[:, None, None], cov_g, cov)
 
     track_tlbr = xywh_to_tlbr(mean[:, :4])
     det_xywh = tlwh_to_xywh(tlbr_to_tlwh(det_tlbr))
