@@ -21,6 +21,11 @@ def main(argv=None):
     parser = build_parser()
     parser.add_argument("-o", "--trace_output", type=str,
                         default="trace.csv")
+    parser.add_argument(
+        "-tb", "--temporal_batch", type=int, default=1,
+        help="Process T consecutive frames per device dispatch "
+             "(offline throughput mode; identical outputs; see "
+             "pipeline/frame_step.py::frame_step_temporal).")
     args = parser.parse_args(argv)
 
     from botsort_tpu.config import NMSConfig, PipelineConfig, TrackerConfig
@@ -50,15 +55,60 @@ def main(argv=None):
     cap = PrefetchingCapture(args.video)
     n = 0
     t0 = time.perf_counter()
+
+    def write_tracks(f, frame_no, tracks):
+        for t in tracks:
+            x1, y1, x2, y2 = t.tlbr
+            f.write(f"{frame_no},{t.track_id},{x1:.2f},{y1:.2f},"
+                    f"{x2 - x1:.2f},{y2 - y1:.2f},{t.score:.4f},1,1\n")
+
+    tb = max(args.temporal_batch, 1)
     with open(args.trace_output, "w") as f:
-        for frame in cap.frames():
-            n += 1
-            for t in pipeline.update(frame):
-                x1, y1, x2, y2 = t.tlbr
-                f.write(f"{n},{t.track_id},{x1:.2f},{y1:.2f},"
-                        f"{x2 - x1:.2f},{y2 - y1:.2f},{t.score:.4f},1,1\n")
-            if args.max_frames and n >= args.max_frames:
-                break
+        if tb == 1:
+            for frame in cap.frames():
+                n += 1
+                write_tracks(f, n, pipeline.update(frame))
+                if args.max_frames and n >= args.max_frames:
+                    break
+        else:
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            from botsort_tpu.pipeline.frame_step import frame_step_temporal
+
+            buf = []
+            done = False
+            frames_iter = cap.frames()
+            while not done:
+                buf.clear()
+                for frame in frames_iter:
+                    buf.append(frame)
+                    if len(buf) == tb or (
+                            args.max_frames
+                            and n + len(buf) >= args.max_frames):
+                        break
+                if not buf:
+                    break
+                if len(buf) == tb:
+                    pipeline.store, res = frame_step_temporal(
+                        pipeline.bundle, pipeline.store,
+                        jnp.asarray(np.stack(buf)), pipeline.tracker_cfg,
+                        pipeline.nms_cfg, pipeline.pipe_cfg)
+                    res = jax.device_get(res)
+                    for t in range(tb):
+                        n += 1
+                        res_t = jax.tree.map(lambda x: x[t], res)
+                        write_tracks(f, n, pipeline._assemble(res_t))
+                else:
+                    # Tail shorter than the batch: plain per-frame steps
+                    # (avoids polluting tracker state with padding).
+                    for frame in buf:
+                        n += 1
+                        write_tracks(f, n, pipeline.update(frame))
+                    done = True
+                if args.max_frames and n >= args.max_frames:
+                    done = True
     cap.release()
     dt = time.perf_counter() - t0
     print(green(f"{n} frames -> {args.trace_output} "

@@ -221,6 +221,40 @@ def frame_step_batched(
     (tests/test_multistream.py covers the sharded variant; the batched
     cascade is the same tracker_update per slice).
     """
+    percep = _perception_batched(bundle, frames_bgr, tracker_cfg,
+                                 nms_cfg, pipe_cfg)
+    (det_boxes, det_scores, det_valid, hier, body_tlbr, body_scores,
+     body_valid, body_feats, face_feats) = percep
+    b = frames_bgr.shape[0]
+
+    # Per-stream cascades (stateful, tiny) — unrolled.
+    new_stores, tracks_list = [], []
+    for s in range(b):
+        store_s = jax.tree.map(lambda x: x[s], stores)
+        store_s, tr = tracker_update(
+            store_s, body_tlbr[s], body_scores[s], body_valid[s],
+            body_feats[s], face_feats[s], tracker_cfg)
+        new_stores.append(store_s)
+        tracks_list.append(tr)
+
+    stores_out = jax.tree.map(lambda *xs: jnp.stack(xs), *new_stores)
+    tracks = jax.tree.map(lambda *xs: jnp.stack(xs), *tracks_list)
+    result = FrameResult(
+        det_boxes=det_boxes,
+        det_scores=det_scores,
+        det_valid=det_valid,
+        head_for_body=hier[0],
+        face_for_head=hier[1],
+        hand1_for_body=hier[2],
+        hand2_for_body=hier[3],
+        tracks=tracks,
+    )
+    return stores_out, result
+
+
+def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
+                        pipe_cfg):
+    """Everything before the cascade, batched over leading dim B."""
     b = frames_bgr.shape[0]
     src_h, src_w = frames_bgr.shape[1], frames_bgr.shape[2]
     in_h, in_w = pipe_cfg.detector_input_hw
@@ -292,28 +326,61 @@ def frame_step_batched(
         face_crops.reshape((b * r,) + face_crops.shape[2:])
     ).reshape(b, r, -1)
 
-    # Per-stream cascades (stateful, tiny) — unrolled.
-    new_stores, tracks_list = [], []
-    for s in range(b):
-        store_s = jax.tree.map(lambda x: x[s], stores)
-        store_s, tr = tracker_update(
-            store_s, body_tlbr[s], body_scores[s], body_valid[s],
-            body_feats[s], face_feats[s], tracker_cfg)
-        new_stores.append(store_s)
+    hier = (
+        jnp.stack([results[3 * s + 1][0] for s in range(b)]),
+        jnp.stack([results[3 * s][0] for s in range(b)]),
+        jnp.stack([results[3 * s + 2][0] for s in range(b)]),
+        jnp.stack([results[3 * s + 2][1] for s in range(b)]),
+    )
+    return (det_boxes, det_scores, det_valid, hier, body_tlbr,
+            body_scores, body_valid, body_feats, face_feats)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tracker_cfg", "nms_cfg", "pipe_cfg"),
+    donate_argnames=("store",),
+)
+def frame_step_temporal(
+    bundle: ModelBundle,
+    store: TrackStore,
+    frames_bgr: jnp.ndarray,
+    tracker_cfg: TrackerConfig,
+    nms_cfg: NMSConfig,
+    pipe_cfg: PipelineConfig,
+) -> Tuple[TrackStore, FrameResult]:
+    """T consecutive frames of ONE stream in one dispatch.
+
+    frames_bgr: [T, H, W, 3]. Detection / NMS / hierarchy / crops / ReID
+    run batched over the T frames (amortizing the batch-1 MXU
+    under-utilization exactly like frame_step_batched); the T cascades
+    then run chained through the single store — output identical to T
+    sequential frame_step calls. Adds T-1 frames of latency: intended
+    for offline workloads (trace export, MOT evaluation), not live
+    camera loops.
+    """
+    t_len = frames_bgr.shape[0]
+    percep = _perception_batched(bundle, frames_bgr, tracker_cfg,
+                                 nms_cfg, pipe_cfg)
+    (det_boxes, det_scores, det_valid, hier, body_tlbr, body_scores,
+     body_valid, body_feats, face_feats) = percep
+
+    tracks_list = []
+    for t in range(t_len):
+        store, tr = tracker_update(
+            store, body_tlbr[t], body_scores[t], body_valid[t],
+            body_feats[t], face_feats[t], tracker_cfg)
         tracks_list.append(tr)
 
-    stores_out = jax.tree.map(lambda *xs: jnp.stack(xs), *new_stores)
     tracks = jax.tree.map(lambda *xs: jnp.stack(xs), *tracks_list)
     result = FrameResult(
         det_boxes=det_boxes,
         det_scores=det_scores,
         det_valid=det_valid,
-        head_for_body=jnp.stack([results[3 * s + 1][0] for s in range(b)]),
-        face_for_head=jnp.stack([results[3 * s][0] for s in range(b)]),
-        hand1_for_body=jnp.stack([results[3 * s + 2][0]
-                                  for s in range(b)]),
-        hand2_for_body=jnp.stack([results[3 * s + 2][1]
-                                  for s in range(b)]),
+        head_for_body=hier[0],
+        face_for_head=hier[1],
+        hand1_for_body=hier[2],
+        hand2_for_body=hier[3],
         tracks=tracks,
     )
-    return stores_out, result
+    return store, result
