@@ -19,7 +19,6 @@ import time
 from argparse import ArgumentParser
 
 import cv2
-import numpy as np
 
 from botsort_tpu.config import (
     NMSConfig,

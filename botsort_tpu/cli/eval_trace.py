@@ -11,8 +11,6 @@ Run: python -m botsort_tpu.cli.eval_trace -v video.mp4 -o trace.csv
 from __future__ import annotations
 
 import time
-from argparse import ArgumentParser
-
 from botsort_tpu.cli.demo import build_parser
 from botsort_tpu.utils.colors import green
 

@@ -15,8 +15,6 @@ from __future__ import annotations
 import time
 from argparse import ArgumentParser
 
-import numpy as np
-
 
 def main(argv=None):
     parser = ArgumentParser(description=__doc__)

@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import List, Tuple
 
 import cv2
-import numpy as np
 
 from botsort_tpu.pipeline.boxes import Box
 from botsort_tpu.pipeline.host import STrackView

@@ -47,7 +47,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-_NEG = jnp.int32(-(2 ** 30))
 
 
 class AssignmentResult(NamedTuple):

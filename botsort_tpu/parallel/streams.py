@@ -16,14 +16,14 @@ v5e-8 serving 32 streams runs 4 streams/chip batched through the MXU.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from botsort_tpu.config import NMSConfig, PipelineConfig, TrackerConfig
-from botsort_tpu.pipeline.frame_step import FrameResult, ModelBundle, frame_step
+from botsort_tpu.pipeline.frame_step import frame_step
 from botsort_tpu.track.state import TrackStore, empty_store
 
 
