@@ -95,7 +95,11 @@ def main(argv=None):
         print(f"ERROR: video file not found: {args.video}")
         return 1
     if args.execution_provider == "cpu":
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # Some TPU platform plugins ignore the JAX_PLATFORMS env var;
+        # the config update reliably forces the CPU backend.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     setup_compilation_cache()
     # Import after backend selection.
     from botsort_tpu.pipeline.host import BoTSORTPipeline
