@@ -61,7 +61,9 @@ class AssignmentResult(NamedTuple):
     row_for_col: jnp.ndarray
 
 
-_INF = jnp.float32(1e30)
+# Plain float (a module-level jnp scalar would initialize the backend at
+# import time, before callers can select a platform).
+_INF = 1e30
 
 
 def _jv_masked(ext: jnp.ndarray, parked: jnp.ndarray,

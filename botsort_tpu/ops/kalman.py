@@ -40,10 +40,10 @@ STD_WEIGHT_VELOCITY = 1.0 / 160
 # chi-square 0.95 quantiles for N=1..9 dof (demo:139-149); used by the
 # optional Mahalanobis gate (the reference defines but never calls it —
 # demo:338-380 is dead code; we expose a working batched version).
-CHI2INV95 = jnp.asarray(
-    [3.8415, 5.9915, 7.8147, 9.4877, 11.070, 12.592, 14.067, 15.507, 16.919],
-    dtype=jnp.float32,
-)
+# Plain tuple: a module-level jnp array would initialize the JAX backend
+# at import time, before callers can select a platform.
+CHI2INV95 = (3.8415, 5.9915, 7.8147, 9.4877, 11.070, 12.592, 14.067,
+             15.507, 16.919)
 
 
 def _noise_scales(wh: jnp.ndarray) -> jnp.ndarray:
