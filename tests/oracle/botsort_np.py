@@ -177,6 +177,7 @@ class NpBoTSORT:
                             ffeats[di], f, di, False)
                 activated.append(t)
             else:
+                t.state = "removed"  # mark_removed (demo:432-433,1611)
                 removed.append(t)
                 self.removed_ids.add(t.tid)
 
