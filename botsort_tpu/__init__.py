@@ -33,3 +33,25 @@ from botsort_tpu.config import (  # noqa: F401
     NMSConfig,
     PipelineConfig,
 )
+
+_LAZY = {
+    # Heavy imports (jax/flax) loaded on first access, so that
+    # `import botsort_tpu` stays light and backend selection is still
+    # possible afterwards.
+    "BoTSORTPipeline": ("botsort_tpu.pipeline.host", "BoTSORTPipeline"),
+    "build_bundle": ("botsort_tpu.runtime.assets", "build_bundle"),
+    "frame_step": ("botsort_tpu.pipeline.frame_step", "frame_step"),
+    "frame_step_batched": ("botsort_tpu.pipeline.frame_step",
+                           "frame_step_batched"),
+    "frame_step_temporal": ("botsort_tpu.pipeline.frame_step",
+                            "frame_step_temporal"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'botsort_tpu' has no attribute {name!r}")

@@ -99,3 +99,23 @@ def test_known_instance():
     # optimal total = 0.3 + 0.2 = 0.5 < 0.1 + dummy costs for row1/col1
     # (0.1 + 0.4 + 0.4 = 0.9).
     assert list(cfr) == [1, 0]
+
+
+def test_wide_matrices_more_cols_than_rows():
+    # The cascade only ever solves tall problems (tracks x dets); the op
+    # itself must also be exact for wide ones.
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        n = int(rng.integers(1, 6))
+        m = int(rng.integers(n, MAX_B + 1))
+        thresh = 0.8
+        cost = rng.uniform(0.0, 1.2, size=(n, m)).astype(np.float32)
+        got_cfr, got_rfc = run_padded(cost, thresh)
+        ref_cfr, _ = assignment_np.lapjv_cost_limit(
+            cost.astype(np.float64), thresh)
+        got_total = assignment_np.total_match_cost(cost, got_cfr, thresh)
+        ref_total = assignment_np.total_match_cost(cost, ref_cfr, thresh)
+        assert abs(got_total - ref_total) < 1e-3
+        for r, c in enumerate(got_cfr):
+            if c >= 0:
+                assert got_rfc[c] == r

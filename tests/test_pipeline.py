@@ -65,3 +65,22 @@ def test_track_views_have_hierarchy_fields(pipeline):
                 assert t.body.head.trackid == t.track_id
                 if t.body.head.face is not None:
                     assert t.body.head.face.trackid == t.track_id
+
+
+def test_mixed_source_resolutions(pipeline):
+    # A camera reconfiguration mid-stream: each (H, W) compiles its own
+    # program variant; the tracker state carries across.
+    rng = np.random.default_rng(3)
+    pipeline.reset()
+    pipeline.update(rng.integers(0, 255, (120, 160, 3), dtype=np.uint8))
+    tracks = pipeline.update(
+        rng.integers(0, 255, (240, 320, 3), dtype=np.uint8))
+    assert isinstance(tracks, list)
+    assert pipeline.frame_id == 2
+
+
+def test_lazy_package_exports():
+    import botsort_tpu
+
+    assert botsort_tpu.BoTSORTPipeline.__name__ == "BoTSORTPipeline"
+    assert callable(botsort_tpu.build_bundle)
