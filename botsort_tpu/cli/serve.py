@@ -108,9 +108,19 @@ def main(argv=None):
     parser.add_argument(
         "--max_connections", type=int, default=0,
         help="Exit after serving N connections (0 = forever; testing).")
+    parser.add_argument(
+        "--warmup_hw", type=str, default="",
+        help="HxW (e.g. 1080x1920) to pre-compile before accepting "
+             "connections, so the first client request isn't stalled by "
+             "the first-compile (use with a cold compilation cache).")
     args = parser.parse_args(argv)
 
     factory = build_pipeline_factory(args)
+    if args.warmup_hw:
+        h, w = (int(v) for v in args.warmup_hw.split("x"))
+        warm = factory()
+        warm.update(np.zeros((h, w, 3), np.uint8))
+        print(f"warmed {h}x{w}")
     served = 0
 
     class Server(socketserver.TCPServer):
