@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import re
+import sys
 from typing import Any, Optional, Tuple
 
 import jax
@@ -111,12 +112,16 @@ def build_bundle(
         try:
             restored = _load_checkpoint(path)
         except Exception as e:  # pragma: no cover - corrupt ckpt
-            print(yellow(f"WARNING: failed to restore {path}: {e}"))
+            print(yellow(f"WARNING: failed to restore {path}: {e}"),
+                  file=sys.stderr)
         if restored is not None:
             return restored
+        # stderr: callers like bench.py contract to emit exactly one
+        # JSON line on stdout.
         print(yellow(
             f"WARNING: no checkpoint at {path}; using random init "
-            f"(run tools/import_onnx.py to convert reference weights)"))
+            f"(run tools/import_onnx.py to convert reference weights)"),
+            file=sys.stderr)
         if fake_params:
             # Benchmarks: structurally correct zero params without
             # running the eager init graph (identical compute cost).
