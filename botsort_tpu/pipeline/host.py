@@ -100,6 +100,18 @@ class BoTSORTPipeline:
         det_boxes = res.det_boxes
         det_scores = res.det_scores
         det_valid = res.det_valid
+        n_bodies = int(np.asarray(det_valid[0]).sum())
+        if n_bodies > self.pipe_cfg.max_reid_batch and \
+                not getattr(self, "_warned_capacity", False):
+            self._warned_capacity = True
+            import sys
+
+            print(
+                f"WARNING: {n_bodies} bodies detected but "
+                f"max_reid_batch={self.pipe_cfg.max_reid_batch}; only the "
+                f"{self.pipe_cfg.max_reid_batch} highest-scoring are "
+                f"tracked (raise PipelineConfig.max_reid_batch).",
+                file=sys.stderr)
         bodies_cls, heads_cls, hands_cls, faces_cls = 0, 1, 2, 3
 
         def opt_box(cls_ctor, classid, slot, trackid):
