@@ -82,8 +82,8 @@ def build_parser() -> ArgumentParser:
              "the reference's multi_gmc is dead code — we implement it).")
     parser.add_argument(
         "--profile", action="store_true",
-        help="Print per-stage timing averages at exit (and write a "
-             "jax.profiler device trace to ./trace/ if set twice).")
+        help="Print per-stage timing averages at exit. For device-level "
+             "traces use botsort_tpu.utils.profiling.device_trace.")
     return parser
 
 

@@ -219,7 +219,8 @@ def frame_step_batched(
     association cascades — tiny (~0.1 ms) but stateful — run unrolled.
     Tracker outputs are bitwise-identical to B single-stream runs
     (tests/test_multistream.py covers the sharded variant; the batched
-    cascade is the same tracker_update per slice).
+    cascade is the same tracker_update per slice). Per-stream GMC is
+    not plumbed through this path yet (use frame_step for GMC streams).
     """
     percep = _perception_batched(bundle, frames_bgr, tracker_cfg,
                                  nms_cfg, pipe_cfg)
