@@ -58,3 +58,21 @@ def test_trace_export(video, tmp_path, monkeypatch):
             parts = line.strip().split(",")
             assert len(parts) == 9
             assert int(parts[0]) >= 1
+
+
+def test_trace_export_temporal_batch(video, tmp_path, monkeypatch):
+    """-tb chunking must produce the same trace as per-frame mode,
+    including the tail chunk handled frame-by-frame."""
+    from botsort_tpu.cli import eval_trace
+
+    monkeypatch.chdir(tmp_path)
+    plain = str(tmp_path / "plain.csv")
+    rc = eval_trace.main(
+        ["-v", video, "--mini", "--max_frames", "5", "-o", plain, "-dvw"])
+    assert rc == 0
+    batched = str(tmp_path / "batched.csv")
+    rc = eval_trace.main(
+        ["-v", video, "--mini", "--max_frames", "5", "-o", batched,
+         "-dvw", "-tb", "2"])
+    assert rc == 0
+    assert open(plain).read() == open(batched).read()
