@@ -37,15 +37,27 @@ def natural_key(path_str: str):
 
 
 def flatten_flax_params(params):
-    """[(path_str, leaf)] in natural module order."""
-    from jax.tree_util import tree_flatten_with_path
+    """[(path_str, leaf)] in module EXECUTION order.
 
-    leaves, _ = tree_flatten_with_path(params)
+    Flax builds the params dict during init in call order, and Python
+    dicts preserve insertion order — so a plain recursive walk yields
+    execution order, which matches the ONNX graph's topological
+    initializer order. (jax.tree_util flattening sorts keys
+    alphabetically, which would misorder sibling modules — e.g.
+    DecoupledHead_0 < PAFPN_0 alphabetically but PAFPN executes first.)
+    """
+    from collections.abc import Mapping
+
     entries = []
-    for path, leaf in leaves:
-        path_str = "/".join(str(getattr(p, "key", p)) for p in path)
-        entries.append((path_str, leaf))
-    entries.sort(key=lambda e: natural_key(e[0]))
+
+    def walk(node, prefix):
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                walk(v, prefix + (str(k),))
+        else:
+            entries.append(("/".join(prefix), node))
+
+    walk(params, ())
     return entries
 
 
