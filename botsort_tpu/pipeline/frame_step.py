@@ -206,6 +206,7 @@ def frame_step_batched(
     tracker_cfg: TrackerConfig,
     nms_cfg: NMSConfig,
     pipe_cfg: PipelineConfig,
+    gmc_affines: jnp.ndarray | None = None,
 ) -> Tuple[TrackStore, FrameResult]:
     """B independent streams batched through one chip.
 
@@ -219,8 +220,8 @@ def frame_step_batched(
     association cascades — tiny (~0.1 ms) but stateful — run unrolled.
     Tracker outputs are bitwise-identical to B single-stream runs
     (tests/test_multistream.py covers the sharded variant; the batched
-    cascade is the same tracker_update per slice). Per-stream GMC is
-    not plumbed through this path yet (use frame_step for GMC streams).
+    cascade is the same tracker_update per slice). gmc_affines: optional
+    [B, 2, 3] per-stream camera-motion matrices.
     """
     percep = _perception_batched(bundle, frames_bgr, tracker_cfg,
                                  nms_cfg, pipe_cfg)
@@ -234,7 +235,8 @@ def frame_step_batched(
         store_s = jax.tree.map(lambda x: x[s], stores)
         store_s, tr = tracker_update(
             store_s, body_tlbr[s], body_scores[s], body_valid[s],
-            body_feats[s], face_feats[s], tracker_cfg)
+            body_feats[s], face_feats[s], tracker_cfg,
+            None if gmc_affines is None else gmc_affines[s])
         new_stores.append(store_s)
         tracks_list.append(tr)
 

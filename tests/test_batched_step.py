@@ -55,3 +55,28 @@ def test_batched_matches_single_stream():
             np.testing.assert_array_equal(
                 batched_out[t].det_index[s][ref.valid],
                 ref.det_index[ref.valid])
+
+
+def test_batched_with_per_stream_gmc():
+    """Per-stream GMC matrices flow through the batched cascade."""
+    bundle = build_bundle(mini=True)
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, (B, 120, 160, 3), dtype=np.uint8)
+    one = empty_store(TRK)
+    stores = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                          one)
+    gmc = jnp.stack([
+        jnp.asarray([[1.0, 0.0, 5.0], [0.0, 1.0, 0.0]], jnp.float32),
+        jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, -3.0]], jnp.float32),
+    ])
+    stores, res = frame_step_batched(bundle, stores, jnp.asarray(frames),
+                                     TRK, NMSC, PIPE, gmc)
+    # GMC applies to the (empty) pool on frame 1: must run cleanly and
+    # match the non-GMC result for an empty store (nothing to transform).
+    one2 = empty_store(TRK)
+    stores2 = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                           one2)
+    _, res2 = frame_step_batched(bundle, stores2, jnp.asarray(frames),
+                                 TRK, NMSC, PIPE)
+    np.testing.assert_array_equal(np.asarray(res.tracks.valid),
+                                  np.asarray(res2.tracks.valid))
