@@ -31,6 +31,13 @@ class NMSConfig:
     iou_threshold: float = 0.80
     max_boxes_per_class: int = 50
     num_classes: int = 4  # 0=body, 1=head, 2=hand, 3=face
+    # Candidates entering the suppression sweep per class. The sweep is
+    # exact when <= pre_nms_top_k candidates clear the score threshold;
+    # beyond that the lowest-scoring overflow is dropped and the
+    # Detections.clipped flag is set for the class (the reference's
+    # in-graph NMS considers all boxes, so saturation is observable
+    # rather than silent).
+    pre_nms_top_k: int = 512
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,7 +70,12 @@ class TrackerConfig:
     # detections/frame (the assignment kernel's cost scales with the
     # padded width, so don't oversize; raise for crowded scenes).
     max_tracks: int = 64              # live (tracked+lost+unconfirmed) slots
-    max_dets: int = 56                # per-class detection slots fed to tracker
+    # Body-detection slots associated AND embedded per frame. The
+    # effective tracker det width is min(max_dets, NMSConfig.
+    # max_boxes_per_class) — with the defaults every NMS body survivor
+    # reaches ReID + association (the reference embeds all detections,
+    # demo:1452-1457, with TRT engines prebuilt for batch 1..100).
+    max_dets: int = 50
     body_feature_dim: int = 2048      # FastReID SBS-S50 embedding dim
     face_feature_dim: int = 256       # face-reidentification-retail-0095 dim
 
@@ -84,10 +96,13 @@ class PipelineConfig:
     detector_input_hw: Tuple[int, int] = (480, 640)   # demo:1902 (1x3x480x640)
     body_reid_input_hw: Tuple[int, int] = (256, 128)  # mot17_sbs_S50 NMx3x256x128
     face_reid_input_hw: Tuple[int, int] = (128, 128)  # retail-0095 NMx3x128x128
-    # Max ReID crop batch — the static answer to the reference's 100
-    # TensorRT engines for batch sizes 1..100 (optimize_reid_*.sh:19-21):
-    # one compiled shape, masked entries cost ~0 extra due to padding only
-    # up to the live-detection count's bucket.
+    # Compiled ReID chunk size — the TPU answer to the reference's 100
+    # TensorRT engines for batch sizes 1..100 (optimize_reid_*.sh:19-21).
+    # The frame step encodes up to TrackerConfig.max_dets crops in chunks
+    # of this size; chunks entirely beyond the live-detection count are
+    # skipped at runtime via lax.cond inside the ONE compiled program, so
+    # sparse scenes pay for one chunk and crowds scale in chunk steps
+    # (no per-count recompiles, no host round-trip to pick a bucket).
     max_reid_batch: int = 16
     # Compute dtype for the neural nets (tracker math stays float32).
     compute_dtype: str = "bfloat16"

@@ -30,11 +30,15 @@ class Detections(NamedTuple):
     boxes: [C, K, 4] tlbr in input-image coordinates.
     scores: [C, K] float32.
     valid: [C, K] bool.
+    clipped: [C] bool — more than pre_nms_top_k candidates cleared the
+      score threshold, so the sweep dropped the overflow (approximate
+      result for that class this frame).
     """
 
     boxes: jnp.ndarray
     scores: jnp.ndarray
     valid: jnp.ndarray
+    clipped: jnp.ndarray
 
 
 def nms_single_class(
@@ -44,23 +48,26 @@ def nms_single_class(
     iou_threshold: float,
     score_threshold: float,
     max_outputs: int,
-    pre_nms_top_k: int = 256,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    pre_nms_top_k: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NMS over one class's padded candidates.
 
     boxes_tlbr: [N, 4]; scores: [N]; valid: [N] -> (boxes [K,4],
-    scores [K], valid [K]) sorted by descending score.
+    scores [K], valid [K], clipped []) sorted by descending score.
 
     The suppression sweep runs over the top `pre_nms_top_k` candidates
     (standard accelerator practice; exact when the candidate count above
-    the score threshold is <= pre_nms_top_k), then the first
-    `max_outputs` survivors are compacted into the output slots —
-    matching ONNX NonMaxSuppression's max_output_boxes_per_class.
+    the score threshold is <= pre_nms_top_k — `clipped` reports when it
+    is not), then the first `max_outputs` survivors are compacted into
+    the output slots — matching ONNX NonMaxSuppression's
+    max_output_boxes_per_class.
     """
     neg = jnp.float32(-1.0)
-    s = jnp.where(valid & (scores > score_threshold), scores, neg)
+    above = valid & (scores > score_threshold)
+    s = jnp.where(above, scores, neg)
     p = min(pre_nms_top_k, s.shape[0])
     k = max_outputs
+    clipped = jnp.sum(above) > p
     top_s, top_i = jax.lax.top_k(s, p)
     top_boxes = boxes_tlbr[top_i]
     top_valid = top_s > neg
@@ -103,7 +110,7 @@ def nms_single_class(
     out_scores = jnp.zeros((k + 1,), dtype=top_s.dtype).at[dest].set(
         jnp.where(keep, top_s, 0.0))[:k]
     out_valid = jnp.arange(k) < jnp.minimum(jnp.sum(keep), k)
-    return out_boxes, out_scores, out_valid
+    return out_boxes, out_scores, out_valid, clipped
 
 
 def multiclass_nms(
@@ -115,6 +122,7 @@ def multiclass_nms(
     iou_threshold: float,
     score_threshold: float,
     max_per_class: int,
+    pre_nms_top_k: int = 512,
 ) -> Detections:
     """Class-aware NMS over a flat padded candidate set.
 
@@ -125,10 +133,10 @@ def multiclass_nms(
         mask = valid & (class_ids == c)
         return nms_single_class(
             boxes_tlbr, scores, mask, iou_threshold, score_threshold,
-            max_per_class)
+            max_per_class, pre_nms_top_k)
 
-    b, s, v = jax.vmap(per_class)(jnp.arange(num_classes))
-    return Detections(boxes=b, scores=s, valid=v)
+    b, s, v, cl = jax.vmap(per_class)(jnp.arange(num_classes))
+    return Detections(boxes=b, scores=s, valid=v, clipped=cl)
 
 
 def multiclass_nms_dense(
@@ -137,7 +145,7 @@ def multiclass_nms_dense(
     iou_threshold: float,
     score_threshold: float,
     max_per_class: int,
-    pre_nms_top_k: int = 256,
+    pre_nms_top_k: int = 512,
 ) -> Detections:
     """Class-aware NMS where every candidate has a score per class
     (ONNX NonMaxSuppression's input layout — the detector's decode
@@ -154,5 +162,5 @@ def multiclass_nms_dense(
             boxes_tlbr, scores_c, valid, iou_threshold, score_threshold,
             max_per_class, pre_nms_top_k)
 
-    b, s, v = jax.vmap(per_class)(class_scores.T)
-    return Detections(boxes=b, scores=s, valid=v)
+    b, s, v, cl = jax.vmap(per_class)(class_scores.T)
+    return Detections(boxes=b, scores=s, valid=v, clipped=cl)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from botsort_tpu.config import NMSConfig, PipelineConfig, TrackerConfig
-from botsort_tpu.pipeline.frame_step import frame_step
+from botsort_tpu.pipeline.frame_step import frame_step_batched
 from botsort_tpu.track.state import TrackStore, empty_store
 
 
@@ -38,11 +38,13 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), axis_names=("stream",))
 
 
-def _vmapped_step(bundle, stores, frames, tracker_cfg, nms_cfg, pipe_cfg):
-    return jax.vmap(
-        lambda s, f: frame_step(bundle, s, f, tracker_cfg, nms_cfg,
-                                pipe_cfg),
-    )(stores, frames)
+def _local_step(bundle, stores, frames, tracker_cfg, nms_cfg, pipe_cfg):
+    # The per-device slice runs the natively-batched step (NOT a vmap of
+    # frame_step: vmap would turn the cond-gated ReID chunking into a
+    # select that always pays for crowds, and batch-1 convs underuse the
+    # MXU).
+    return frame_step_batched(bundle, stores, frames, tracker_cfg,
+                              nms_cfg, pipe_cfg)
 
 
 def make_multi_stream_step(
@@ -66,7 +68,7 @@ def make_multi_stream_step(
     def step(bundle, stores, frames, tracker_cfg, nms_cfg, pipe_cfg):
         sharded = jax.shard_map(
             functools.partial(
-                _vmapped_step,
+                _local_step,
                 tracker_cfg=tracker_cfg,
                 nms_cfg=nms_cfg,
                 pipe_cfg=pipe_cfg,

@@ -44,7 +44,53 @@ class FrameResult(NamedTuple):
     face_for_head: jnp.ndarray  # [Kh] int32 face det slot or -1
     hand1_for_body: jnp.ndarray  # [Db] int32
     hand2_for_body: jnp.ndarray  # [Db] int32
+    nms_clipped: jnp.ndarray    # [C] bool — NMS pre-top-k saturated
     tracks: TrackOutputs
+
+
+def _det_width(tracker_cfg: TrackerConfig, nms_cfg: NMSConfig) -> int:
+    """Tracker body-det slot count: every one of these is embedded by
+    ReID and fed to association (the reference embeds ALL detections,
+    demo:1452-1457; its TRT engines cover batch 1..100)."""
+    return min(tracker_cfg.max_dets, nms_cfg.max_boxes_per_class)
+
+
+def _pad_slots(arr: jnp.ndarray, dp: int, axis: int = 0,
+               fill=0) -> jnp.ndarray:
+    """Pad (or slice) `axis` to dp slots."""
+    k = arr.shape[axis]
+    if k >= dp:
+        return jax.lax.slice_in_dim(arr, 0, dp, axis=axis)
+    pad = [(0, 0, 0)] * arr.ndim
+    pad[axis] = (0, dp - k, 0)
+    return jax.lax.pad(arr, jnp.asarray(fill, arr.dtype), pad)
+
+
+def _encode_chunked(encode, tlbr: jnp.ndarray, n_live: jnp.ndarray,
+                    chunk: int, out_dim: int) -> jnp.ndarray:
+    """Embed crops for tlbr [Dp, 4] in `chunk`-sized pieces.
+
+    Pieces whose slots lie entirely beyond n_live are skipped at runtime
+    via lax.cond (valid det slots are a score-ordered prefix — see the
+    compaction in ops/nms.py) and yield zero features, which the cascade
+    never reads (every det-feature consumer is masked by det validity).
+    This keeps ONE compiled program: sparse frames pay one chunk of
+    encoder FLOPs, crowds scale in chunk steps — the TPU answer to the
+    reference's 100 per-batch-size TensorRT engines
+    (optimize_reid_tensorrt_engine.sh:19-21).
+    """
+    dp = tlbr.shape[0]
+    feats = []
+    for c in range(0, dp, chunk):
+        piece = tlbr[c:c + chunk]
+        run = (lambda piece=piece: encode(piece))
+        if c == 0:
+            feats.append(run())
+        else:
+            feats.append(jax.lax.cond(
+                n_live > c, run,
+                lambda: jnp.zeros((chunk, out_dim), jnp.float32)))
+    return jnp.concatenate(feats, axis=0)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -129,6 +175,7 @@ def frame_step(
         iou_threshold=nms_cfg.iou_threshold,
         score_threshold=nms_cfg.score_threshold,
         max_per_class=nms_cfg.max_boxes_per_class,
+        pre_nms_top_k=nms_cfg.pre_nms_top_k,
     )
     det_boxes = _rescale_to_source(dets.boxes, (in_h, in_w), (src_h, src_w))
     # Detector wrapper score filter (strict >, demo:1003).
@@ -151,35 +198,49 @@ def frame_step(
     (head_for_body,) = results[1]
     hand1_for_body, hand2_for_body = results[2]
 
-    # --- ReID crops for the first R body slots (score-ordered by NMS).
+    # --- ReID crops: EVERY tracker det slot gets an embedding; encoding
+    # runs in cond-gated chunks (see _encode_chunked).
+    d = _det_width(tracker_cfg, nms_cfg)
     r = pipe_cfg.max_reid_batch
-    body_tlbr = det_boxes[bodies][:r]
-    body_scores = dets.scores[bodies][:r]
-    body_valid = det_valid[bodies][:r]
+    dp = -(-d // r) * r
+    body_tlbr_p = _pad_slots(det_boxes[bodies], dp)
+    body_valid = det_valid[bodies][:d]
+    n_live = jnp.sum(body_valid)
 
-    body_crops = crop.crop_and_resize(
-        frame_f, body_tlbr, pipe_cfg.body_reid_input_hw)
-    body_feats = bundle.body_encoder.apply(
-        bundle.body_params, fastreid_mod.preprocess(body_crops))
+    def encode_body(tlbr_chunk):
+        crops = crop.crop_and_resize(
+            frame_f, tlbr_chunk, pipe_cfg.body_reid_input_hw)
+        return bundle.body_encoder.apply(
+            bundle.body_params, fastreid_mod.preprocess(crops))
+
+    body_feats = _encode_chunked(
+        encode_body, body_tlbr_p, n_live, r,
+        tracker_cfg.body_feature_dim)[:d]
 
     # Face crop per body: its head's face box; bodies without a face get
     # an all-zero crop (degenerate box), matching the reference's zero
     # image (demo:1437-1441).
-    hb = head_for_body[:r]
+    hb = _pad_slots(head_for_body, dp, fill=-1)
     fb = jnp.where(hb >= 0, face_for_head[jnp.clip(hb, 0, None)], -1)
     has_face = fb >= 0
     face_tlbr = jnp.where(
         has_face[:, None],
         det_boxes[faces][jnp.clip(fb, 0, None)],
-        jnp.zeros((r, 4), jnp.float32))
-    face_crops = crop.crop_and_resize(
-        frame_f, face_tlbr, pipe_cfg.face_reid_input_hw)
-    face_feats = bundle.face_encoder.apply(bundle.face_params, face_crops)
+        jnp.zeros((dp, 4), jnp.float32))
+
+    def encode_face(tlbr_chunk):
+        crops = crop.crop_and_resize(
+            frame_f, tlbr_chunk, pipe_cfg.face_reid_input_hw)
+        return bundle.face_encoder.apply(bundle.face_params, crops)
+
+    face_feats = _encode_chunked(
+        encode_face, face_tlbr, n_live, r,
+        tracker_cfg.face_feature_dim)[:d]
 
     # --- Association cascade.
     store, tracks = tracker_update(
-        store, body_tlbr, body_scores, body_valid, body_feats, face_feats,
-        tracker_cfg, gmc_affine)
+        store, det_boxes[bodies][:d], dets.scores[bodies][:d], body_valid,
+        body_feats, face_feats, tracker_cfg, gmc_affine)
 
     result = FrameResult(
         det_boxes=det_boxes,
@@ -189,6 +250,7 @@ def frame_step(
         face_for_head=face_for_head,
         hand1_for_body=hand1_for_body,
         hand2_for_body=hand2_for_body,
+        nms_clipped=dets.clipped,
         tracks=tracks,
     )
     return store, result
@@ -215,33 +277,36 @@ def frame_step_batched(
     Single-stream (batch-1) convolutions leave the MXU mostly idle —
     measured ~5.3 ms for the YOLOX-X forward at batch 1 vs ~1 ms/frame
     amortized at batch 4. The perception stages here run natively
-    batched (detector batch B, both ReID encoders as ONE B*R crop
-    batch, NMS/hierarchy/crops vmapped or flattened); the per-stream
-    association cascades — tiny (~0.1 ms) but stateful — run unrolled.
-    Tracker outputs are bitwise-identical to B single-stream runs
-    (tests/test_multistream.py covers the sharded variant; the batched
-    cascade is the same tracker_update per slice). gmc_affines: optional
+    batched (detector batch B, both ReID encoders as ONE B*R crop batch
+    per chunk, NMS/hierarchy/crops vmapped or flattened); the per-stream
+    association cascades — tiny but stateful — run vmapped over the
+    stream axis (program size flat in B). Tracker outputs are
+    bitwise-identical to B single-stream runs (tests/test_batched_step
+    and tests/test_multistream.py assert it). gmc_affines: optional
     [B, 2, 3] per-stream camera-motion matrices.
     """
     percep = _perception_batched(bundle, frames_bgr, tracker_cfg,
                                  nms_cfg, pipe_cfg)
-    (det_boxes, det_scores, det_valid, hier, body_tlbr, body_scores,
-     body_valid, body_feats, face_feats) = percep
-    b = frames_bgr.shape[0]
+    (det_boxes, det_scores, det_valid, hier, nms_clipped, body_tlbr,
+     body_scores, body_valid, body_feats, face_feats) = percep
 
-    # Per-stream cascades (stateful, tiny) — unrolled.
-    new_stores, tracks_list = [], []
-    for s in range(b):
-        store_s = jax.tree.map(lambda x: x[s], stores)
-        store_s, tr = tracker_update(
-            store_s, body_tlbr[s], body_scores[s], body_valid[s],
-            body_feats[s], face_feats[s], tracker_cfg,
-            None if gmc_affines is None else gmc_affines[s])
-        new_stores.append(store_s)
-        tracks_list.append(tr)
+    # Per-stream cascades, vmapped over the stream axis (one lockstep
+    # program: compile time and program size flat in B; the JV solver's
+    # while_loops batch via masked-select, so total sequential steps =
+    # the max across streams, not the sum).
+    if gmc_affines is None:
+        stores_out, tracks = jax.vmap(
+            lambda st, bt, bs, bv, bf, ff: tracker_update(
+                st, bt, bs, bv, bf, ff, tracker_cfg)
+        )(stores, body_tlbr, body_scores, body_valid, body_feats,
+          face_feats)
+    else:
+        stores_out, tracks = jax.vmap(
+            lambda st, bt, bs, bv, bf, ff, ga: tracker_update(
+                st, bt, bs, bv, bf, ff, tracker_cfg, ga)
+        )(stores, body_tlbr, body_scores, body_valid, body_feats,
+          face_feats, gmc_affines)
 
-    stores_out = jax.tree.map(lambda *xs: jnp.stack(xs), *new_stores)
-    tracks = jax.tree.map(lambda *xs: jnp.stack(xs), *tracks_list)
     result = FrameResult(
         det_boxes=det_boxes,
         det_scores=det_scores,
@@ -250,6 +315,7 @@ def frame_step_batched(
         face_for_head=hier[1],
         hand1_for_body=hier[2],
         hand2_for_body=hier[3],
+        nms_clipped=nms_clipped,
         tracks=tracks,
     )
     return stores_out, result
@@ -261,7 +327,9 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
     b = frames_bgr.shape[0]
     src_h, src_w = frames_bgr.shape[1], frames_bgr.shape[2]
     in_h, in_w = pipe_cfg.detector_input_hw
+    d = _det_width(tracker_cfg, nms_cfg)
     r = pipe_cfg.max_reid_batch
+    dp = -(-d // r) * r
     bodies, heads, hands, faces = 0, 1, 2, 3
 
     frames_f = frames_bgr.astype(jnp.float32)
@@ -276,14 +344,15 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
         dets = nms.multiclass_nms_dense(
             cb, cs, iou_threshold=nms_cfg.iou_threshold,
             score_threshold=nms_cfg.score_threshold,
-            max_per_class=nms_cfg.max_boxes_per_class)
+            max_per_class=nms_cfg.max_boxes_per_class,
+            pre_nms_top_k=nms_cfg.pre_nms_top_k)
         boxes = _rescale_to_source(dets.boxes, (in_h, in_w),
                                    (src_h, src_w))
         valid = dets.valid & (dets.scores > tracker_cfg.det_score_threshold)
-        return boxes, dets.scores, valid
+        return boxes, dets.scores, valid, dets.clipped
 
-    det_boxes, det_scores, det_valid = jax.vmap(per_stream_nms)(
-        cand_boxes, cand_scores)                       # [B, C, K, ...]
+    det_boxes, det_scores, det_valid, nms_clipped = jax.vmap(
+        per_stream_nms)(cand_boxes, cand_scores)       # [B, C, K, ...]
 
     # Hierarchy: 3 problems per stream -> one 3B-problem lockstep scan.
     problems = []
@@ -298,36 +367,51 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
         ]
     results = hierarchy.greedy_assign_batch(problems)
 
-    body_tlbr = det_boxes[:, bodies, :r]
-    body_scores = det_scores[:, bodies, :r]
-    body_valid = det_valid[:, bodies, :r]
+    body_tlbr = det_boxes[:, bodies, :d]
+    body_scores = det_scores[:, bodies, :d]
+    body_valid = det_valid[:, bodies, :d]
+    body_tlbr_p = _pad_slots(det_boxes[:, bodies], dp, axis=1)
+    # A chunk executes iff ANY stream still has live slots there (valid
+    # slots are a prefix per stream; streams share one program).
+    n_live = jnp.max(jnp.sum(body_valid, axis=1))
 
-    body_crops = jax.vmap(
-        lambda f, bt: crop.crop_and_resize(
-            f, bt, pipe_cfg.body_reid_input_hw))(frames_f, body_tlbr)
-    body_feats = bundle.body_encoder.apply(
-        bundle.body_params,
-        fastreid_mod.preprocess(
-            body_crops.reshape((b * r,) + body_crops.shape[2:]))
-    ).reshape(b, r, -1)
+    def encode_body(tlbr_chunk):                        # [B, r, 4]
+        crops = jax.vmap(
+            lambda f, bt: crop.crop_and_resize(
+                f, bt, pipe_cfg.body_reid_input_hw))(frames_f, tlbr_chunk)
+        return bundle.body_encoder.apply(
+            bundle.body_params,
+            fastreid_mod.preprocess(
+                crops.reshape((b * r,) + crops.shape[2:]))
+        ).reshape(b, r, -1)
+
+    body_feats = _encode_chunked_axis1(
+        encode_body, body_tlbr_p, n_live, r,
+        tracker_cfg.body_feature_dim)[:, :d]
 
     face_tlbr_list = []
     for s in range(b):
-        hb = results[3 * s + 1][0][:r]
+        hb = _pad_slots(results[3 * s + 1][0], dp, fill=-1)
         fb = jnp.where(hb >= 0, results[3 * s][0][jnp.clip(hb, 0, None)],
                        -1)
         face_tlbr_list.append(jnp.where(
             (fb >= 0)[:, None],
             det_boxes[s, faces][jnp.clip(fb, 0, None)],
-            jnp.zeros((r, 4), jnp.float32)))
+            jnp.zeros((dp, 4), jnp.float32)))
     face_tlbr = jnp.stack(face_tlbr_list)
-    face_crops = jax.vmap(
-        lambda f, ft: crop.crop_and_resize(
-            f, ft, pipe_cfg.face_reid_input_hw))(frames_f, face_tlbr)
-    face_feats = bundle.face_encoder.apply(
-        bundle.face_params,
-        face_crops.reshape((b * r,) + face_crops.shape[2:])
-    ).reshape(b, r, -1)
+
+    def encode_face(tlbr_chunk):
+        crops = jax.vmap(
+            lambda f, ft: crop.crop_and_resize(
+                f, ft, pipe_cfg.face_reid_input_hw))(frames_f, tlbr_chunk)
+        return bundle.face_encoder.apply(
+            bundle.face_params,
+            crops.reshape((b * r,) + crops.shape[2:])
+        ).reshape(b, r, -1)
+
+    face_feats = _encode_chunked_axis1(
+        encode_face, face_tlbr, n_live, r,
+        tracker_cfg.face_feature_dim)[:, :d]
 
     hier = (
         jnp.stack([results[3 * s + 1][0] for s in range(b)]),
@@ -335,8 +419,25 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
         jnp.stack([results[3 * s + 2][0] for s in range(b)]),
         jnp.stack([results[3 * s + 2][1] for s in range(b)]),
     )
-    return (det_boxes, det_scores, det_valid, hier, body_tlbr,
-            body_scores, body_valid, body_feats, face_feats)
+    return (det_boxes, det_scores, det_valid, hier, nms_clipped,
+            body_tlbr, body_scores, body_valid, body_feats, face_feats)
+
+
+def _encode_chunked_axis1(encode, tlbr: jnp.ndarray, n_live: jnp.ndarray,
+                          chunk: int, out_dim: int) -> jnp.ndarray:
+    """_encode_chunked over [B, Dp, 4] boxes (chunks on axis 1)."""
+    b, dp = tlbr.shape[0], tlbr.shape[1]
+    feats = []
+    for c in range(0, dp, chunk):
+        piece = tlbr[:, c:c + chunk]
+        run = (lambda piece=piece: encode(piece))
+        if c == 0:
+            feats.append(run())
+        else:
+            feats.append(jax.lax.cond(
+                n_live > c, run,
+                lambda: jnp.zeros((b, chunk, out_dim), jnp.float32)))
+    return jnp.concatenate(feats, axis=1)
 
 
 @functools.partial(
@@ -362,20 +463,21 @@ def frame_step_temporal(
     for offline workloads (trace export, MOT evaluation), not live
     camera loops.
     """
-    t_len = frames_bgr.shape[0]
     percep = _perception_batched(bundle, frames_bgr, tracker_cfg,
                                  nms_cfg, pipe_cfg)
-    (det_boxes, det_scores, det_valid, hier, body_tlbr, body_scores,
-     body_valid, body_feats, face_feats) = percep
+    (det_boxes, det_scores, det_valid, hier, nms_clipped, body_tlbr,
+     body_scores, body_valid, body_feats, face_feats) = percep
 
-    tracks_list = []
-    for t in range(t_len):
-        store, tr = tracker_update(
-            store, body_tlbr[t], body_scores[t], body_valid[t],
-            body_feats[t], face_feats[t], tracker_cfg)
-        tracks_list.append(tr)
+    # The T cascades chain through the single store as a scan (program
+    # size flat in T; output identical to T sequential tracker_updates).
+    def scan_body(store, xs):
+        bt, bs, bv, bf, ff = xs
+        store, tr = tracker_update(store, bt, bs, bv, bf, ff, tracker_cfg)
+        return store, tr
 
-    tracks = jax.tree.map(lambda *xs: jnp.stack(xs), *tracks_list)
+    store, tracks = jax.lax.scan(
+        scan_body, store,
+        (body_tlbr, body_scores, body_valid, body_feats, face_feats))
     result = FrameResult(
         det_boxes=det_boxes,
         det_scores=det_scores,
@@ -384,6 +486,7 @@ def frame_step_temporal(
         face_for_head=hier[1],
         hand1_for_body=hier[2],
         hand2_for_body=hier[3],
+        nms_clipped=nms_clipped,
         tracks=tracks,
     )
     return store, result

@@ -101,17 +101,35 @@ class BoTSORTPipeline:
         det_scores = res.det_scores
         det_valid = res.det_valid
         n_bodies = int(np.asarray(det_valid[0]).sum())
-        if n_bodies > self.pipe_cfg.max_reid_batch and \
-                not getattr(self, "_warned_capacity", False):
+        d = min(self.tracker_cfg.max_dets, self.nms_cfg.max_boxes_per_class)
+        if n_bodies > d and not getattr(self, "_warned_capacity", False):
             self._warned_capacity = True
             import sys
 
             print(
                 f"WARNING: {n_bodies} bodies detected but "
-                f"max_reid_batch={self.pipe_cfg.max_reid_batch}; only the "
-                f"{self.pipe_cfg.max_reid_batch} highest-scoring are "
-                f"tracked (raise PipelineConfig.max_reid_batch).",
-                file=sys.stderr)
+                f"TrackerConfig.max_dets={self.tracker_cfg.max_dets}; only "
+                f"the {d} highest-scoring reach the tracker (raise "
+                "max_dets).", file=sys.stderr)
+        dropped = int(np.asarray(res.tracks.dropped_new))
+        if dropped > 0 and not getattr(self, "_warned_slots", False):
+            self._warned_slots = True
+            import sys
+
+            print(
+                f"WARNING: {dropped} new track(s) dropped this frame — all "
+                f"TrackerConfig.max_tracks={self.tracker_cfg.max_tracks} "
+                "slots occupied (raise max_tracks; the reference has no "
+                "slot limit).", file=sys.stderr)
+        if bool(np.asarray(res.nms_clipped).any()) and \
+                not getattr(self, "_warned_nms_clip", False):
+            self._warned_nms_clip = True
+            import sys
+
+            print(
+                "WARNING: NMS pre_nms_top_k saturated for at least one "
+                "class this frame — suppression was approximate (raise "
+                "NMSConfig.pre_nms_top_k).", file=sys.stderr)
         bodies_cls, heads_cls, hands_cls, faces_cls = 0, 1, 2, 3
 
         def opt_box(cls_ctor, classid, slot, trackid):

@@ -69,6 +69,10 @@ class TrackOutputs(NamedTuple):
     track_id: jnp.ndarray
     score: jnp.ndarray
     det_index: jnp.ndarray
+    # [] int32 — new-track candidates dropped because all max_tracks
+    # slots were occupied (the reference has no slot limit; a nonzero
+    # value means max_tracks must be raised to preserve parity).
+    dropped_new: jnp.ndarray
 
 
 def _ema_update(smooth: jnp.ndarray, feat: jnp.ndarray, alpha: float,
@@ -236,9 +240,16 @@ def tracker_update(
     start_frame_arr = scatter(store.start_frame,
                               jnp.full_like(det_rank, frame))
     tracklet_len = scatter(tracklet_len, jnp.zeros_like(det_rank))
+    # fits is a prefix of new_m in rank order (once det_rank >= num_free
+    # every later candidate also overflows), so det_rank equals the
+    # fitting-candidate rank wherever fits holds and ids stay dense.
+    # next_id advances only by CREATED tracks: on slot exhaustion the
+    # reference (which has no slot limit) would create the track, so we
+    # surface the drop via dropped_new instead of silently burning ids.
     new_ids = store.next_id + 1 + det_rank.astype(jnp.int32)
     track_id = scatter(store.track_id, new_ids)
-    next_id = store.next_id + jnp.sum(new_m).astype(jnp.int32)
+    next_id = store.next_id + jnp.sum(fits).astype(jnp.int32)
+    dropped_new = (jnp.sum(new_m) - jnp.sum(fits)).astype(jnp.int32)
     body_feat = scatter(body_feat, det_body_feat)
     face_feat = scatter(face_feat, det_face_feat)
     # STrack.__init__ -> update_*_features: smooth = normalize(feat)
@@ -316,5 +327,6 @@ def tracker_update(
         track_id=track_id,
         score=score,
         det_index=det_index,
+        dropped_new=dropped_new,
     )
     return new_store, outputs

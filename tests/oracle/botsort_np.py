@@ -34,9 +34,9 @@ class Track:
         self.start_frame = frame
         self.tracklet_len = 0
         self.bfeat = bfeat.copy()
-        self.bsmooth = bfeat / np.linalg.norm(bfeat)
+        self.bsmooth = bfeat / max(np.linalg.norm(bfeat), 1e-12)
         self.ffeat = ffeat.copy()
-        self.fsmooth = ffeat / np.linalg.norm(ffeat)
+        self.fsmooth = ffeat / max(np.linalg.norm(ffeat), 1e-12)
         self.last_det = -1
 
     @property
@@ -47,10 +47,10 @@ class Track:
     def _feats(self, bfeat, ffeat):
         self.bfeat = bfeat.copy()
         s = self.alpha * self.bsmooth + (1 - self.alpha) * bfeat
-        self.bsmooth = s / np.linalg.norm(s)
+        self.bsmooth = s / max(np.linalg.norm(s), 1e-12)
         self.ffeat = ffeat.copy()
         s = self.alpha * self.fsmooth + (1 - self.alpha) * ffeat
-        self.fsmooth = s / np.linalg.norm(s)
+        self.fsmooth = s / max(np.linalg.norm(s), 1e-12)
 
     def apply_det(self, tlbr, score, bfeat, ffeat, frame, det_idx,
                   reactivated):

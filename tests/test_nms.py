@@ -40,9 +40,10 @@ def test_single_class_matches_numpy_greedy():
         boxes = random_boxes(rng, n)
         scores = rng.uniform(0, 1, n).astype(np.float32)
         valid = np.ones(n, dtype=bool)
-        b, s, v = nms.nms_single_class(
+        b, s, v, clipped = nms.nms_single_class(
             jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
             iou_threshold=0.5, score_threshold=0.15, max_outputs=20)
+        assert not bool(clipped)
         got = set()
         b_np, s_np, v_np = np.asarray(b), np.asarray(s), np.asarray(v)
         for i in range(20):
@@ -77,7 +78,7 @@ def test_max_per_class_cap():
         np.arange(30) * 20.0 + 15, np.full(30, 15.0)], axis=-1).astype(
             np.float32)
     scores = rng.uniform(0.5, 1.0, 30).astype(np.float32)
-    b, s, v = nms.nms_single_class(
+    b, s, v, _ = nms.nms_single_class(
         jnp.asarray(boxes), jnp.asarray(scores),
         jnp.ones(30, dtype=bool), 0.5, 0.15, 8)
     assert np.asarray(v).sum() == 8
@@ -85,3 +86,23 @@ def test_max_per_class_cap():
     want = np.sort(scores)[-8:]
     np.testing.assert_allclose(np.sort(np.asarray(s)[np.asarray(v)]), want,
                                rtol=1e-6)
+
+
+def test_pre_nms_top_k_clip_flag():
+    # 12 candidates above threshold, sweep width 8 -> clipped set and the
+    # top-8 kept exactly.
+    boxes = np.stack([
+        np.arange(12) * 20.0, np.zeros(12),
+        np.arange(12) * 20.0 + 15, np.full(12, 15.0)], axis=-1).astype(
+            np.float32)
+    scores = np.linspace(0.9, 0.3, 12).astype(np.float32)
+    b, s, v, clipped = nms.nms_single_class(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(12, dtype=bool),
+        0.5, 0.15, 12, pre_nms_top_k=8)
+    assert bool(clipped)
+    assert np.asarray(v).sum() == 8
+    b2, s2, v2, clipped2 = nms.nms_single_class(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(12, dtype=bool),
+        0.5, 0.15, 12, pre_nms_top_k=16)
+    assert not bool(clipped2)
+    assert np.asarray(v2).sum() == 12
