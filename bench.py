@@ -29,6 +29,53 @@ import time
 import numpy as np
 
 
+def check_jv_on_device(trials: int = 4, seed: int = 7) -> None:
+    """Assert the compiled (Pallas on TPU) JV solver is optimal before
+    benching: random masked instances vs the native C++ LAPJV objective
+    (the exact solver the reference calls, demo:1686). The unit tests
+    cover interpret mode only; this is the real-Mosaic check."""
+    import jax
+    import jax.numpy as jnp
+
+    from botsort_tpu.ops import assignment
+    from botsort_tpu.runtime import native
+
+    rng = np.random.default_rng(seed)
+    limit = 0.8
+    for t in range(trials):
+        n, m = 24, 18
+        cost = rng.uniform(0.0, 1.0, (n, m)).astype(np.float32)
+        rv = rng.uniform(0, 1, n) < 0.8
+        cv = rng.uniform(0, 1, m) < 0.8
+        res = jax.device_get(assignment.solve_masked(
+            jnp.asarray(cost), jnp.asarray(rv), jnp.asarray(cv), limit))
+        col = np.asarray(res.col_for_row)
+        # Thresholded-LAP objective: matched pair costs + limit/2 per
+        # unmatched valid endpoint (the dummy-region price).
+        obj = 0.0
+        for i in range(n):
+            if col[i] >= 0:
+                assert rv[i] and cv[col[i]], "matched an invalid slot"
+                obj += float(cost[i, col[i]])
+        unmatched = (rv & (col < 0)).sum() + (
+            cv & ~np.isin(np.arange(m), col)).sum()
+        obj += limit / 2.0 * float(unmatched)
+        sub = cost[np.ix_(rv.nonzero()[0], cv.nonzero()[0])]
+        ref_col, _ = native.lapjv_cost_limit(
+            sub.astype(np.float64), limit)
+        ref_obj = sum(
+            sub[i, j] for i, j in enumerate(ref_col) if j >= 0)
+        ref_obj += limit / 2.0 * (
+            (ref_col < 0).sum()
+            + sub.shape[1] - (ref_col >= 0).sum())
+        assert abs(obj - ref_obj) < 1e-4, (
+            f"JV objective mismatch on device: {obj} vs {ref_obj}")
+    import sys
+
+    print(f"JV on-device optimality check passed ({trials} instances)",
+          file=sys.stderr)
+
+
 def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
                empty_store, k=32, reps=5):
     """Device-side throughput: scan K frame-steps inside ONE program.
@@ -42,8 +89,11 @@ def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
     import jax
     import jax.numpy as jnp
 
+    # bundle is an ARGUMENT, never a closure: closed-over param trees
+    # lower as dense constants inside the program (fine for zeros, which
+    # splat; ~100M random weights overflow the remote-compile request).
     @jax.jit
-    def run_k(store, frames_k):
+    def run_k(bundle, store, frames_k):
         def body(s, f):
             s2, out = frame_step(bundle, s, f, tracker_cfg, nms_cfg,
                                  pipe_cfg)
@@ -53,17 +103,24 @@ def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
     frames_k = jnp.stack(frames * (k // len(frames)))
     store = empty_store(tracker_cfg)
     t0 = time.time()
-    store, valid = run_k(store, frames_k)
+    store, valid = run_k(bundle, store, frames_k)
     _ = jax.device_get(valid)
     compile_s = time.time() - t0
+    flops_per_frame = None
+    try:
+        an = run_k.lower(bundle, store, frames_k).compile().cost_analysis()
+        if an and "flops" in an:
+            flops_per_frame = float(an["flops"]) / k
+    except Exception:
+        pass
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        store, valid = run_k(store, frames_k)
+        store, valid = run_k(bundle, store, frames_k)
         valid_np = jax.device_get(valid)
         best = min(best, time.perf_counter() - t0)
     n_tracks = int(np.asarray(valid_np)[-1].sum())
-    return k / best, compile_s, n_tracks
+    return k / best, compile_s, n_tracks, flops_per_frame
 
 
 def run_batched(bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
@@ -79,7 +136,7 @@ def run_batched(bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
          for _ in range(k)])
 
     @jax.jit
-    def run_k(stores, fk):
+    def run_k(bundle, stores, fk):
         def body(s, f):
             s2, out = frame_step_batched(bundle, s, f, tracker_cfg,
                                          nms_cfg, pipe_cfg)
@@ -89,12 +146,12 @@ def run_batched(bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
     one = empty_store(tracker_cfg)
     stores = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (b,) + x.shape), one)
-    stores, v = run_k(stores, frames_k)
+    stores, v = run_k(bundle, stores, frames_k)
     _ = jax.device_get(v)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        stores, v = run_k(stores, frames_k)
+        stores, v = run_k(bundle, stores, frames_k)
         _ = jax.device_get(v)
         best = min(best, time.perf_counter() - t0)
     return b * k / best
@@ -112,6 +169,8 @@ def main():
 
     setup_compilation_cache()
     backend = jax.default_backend()
+    if backend == "tpu":
+        check_jv_on_device()
 
     nms_cfg = NMSConfig()
     pipe_cfg = PipelineConfig()
@@ -129,12 +188,12 @@ def main():
     loaded_cfg = TrackerConfig(
         det_score_threshold=0.2, track_high_thresh=0.15,
         track_low_thresh=0.05, new_track_thresh=0.2)
-    fps_loaded, compile_s, n_tracks = run_config(
+    fps_loaded, compile_s, n_tracks, flops_frame = run_config(
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
         empty_store)
 
     # Reference-default config (empty scene with random weights).
-    fps_empty, _, _ = run_config(
+    fps_empty, _, _, _ = run_config(
         frame_step, bundle, TrackerConfig(), nms_cfg, pipe_cfg, frames,
         empty_store)
 
@@ -144,6 +203,9 @@ def main():
     fps_batched = run_batched(bundle, loaded_cfg, nms_cfg, pipe_cfg,
                               frames, empty_store, b=8, k=4)
 
+    # v5e peak: 197 TFLOP/s bf16 (per chip).
+    mfu = (round(flops_frame * fps_loaded / 197e12, 4)
+           if flops_frame else None)
     print(json.dumps({
         "metric": "e2e_tracked_fps_480x640_loaded",
         "value": round(fps_loaded, 2),
@@ -155,11 +217,18 @@ def main():
         "live_tracks": n_tracks,
         "empty_scene_fps": round(fps_empty, 2),
         "batched_8stream_aggregate_fps": round(fps_batched, 2),
+        "mfu": mfu,
+        "flops_per_frame_g": (round(flops_frame / 1e9, 1)
+                              if flops_frame else None),
+        "baseline_assumption": "the reference publishes no FPS table; "
+                               "vs_baseline divides by its 30 FPS "
+                               "real-time RTX-30xx TRT-fp16 operating "
+                               "point (README latency overlays)",
         "notes": "device-side throughput (32-step in-program scan, best "
-                 "of 5): full pipeline under load — YOLOX-X det + 16x "
-                 "SBS-S50 body ReID + face ReID + fused cascade with "
-                 "live track pool, 1080p source frames; baseline=30fps "
-                 "RTX-30xx TRT reference operating point",
+                 "of 5): full pipeline under load — YOLOX-X det + "
+                 "chunked SBS-S50 body ReID + face ReID + fused cascade "
+                 "with live track pool, random nonzero weights, 1080p "
+                 "source frames",
     }))
 
 

@@ -78,19 +78,30 @@ def _encode_chunked(encode, tlbr: jnp.ndarray, n_live: jnp.ndarray,
     encoder FLOPs, crowds scale in chunk steps — the TPU answer to the
     reference's 100 per-batch-size TensorRT engines
     (optimize_reid_tensorrt_engine.sh:19-21).
+
+    Structured as a lax.scan over chunks with the cond INSIDE the body,
+    so the program contains ONE instance of the encoder HLO regardless
+    of the chunk count (an unrolled per-chunk cond duplicates the full
+    encoder per chunk — big enough to overflow this environment's
+    remote-compile request limit).
     """
     dp = tlbr.shape[0]
-    feats = []
-    for c in range(0, dp, chunk):
-        piece = tlbr[c:c + chunk]
-        run = (lambda piece=piece: encode(piece))
-        if c == 0:
-            feats.append(run())
-        else:
-            feats.append(jax.lax.cond(
-                n_live > c, run,
-                lambda: jnp.zeros((chunk, out_dim), jnp.float32)))
-    return jnp.concatenate(feats, axis=0)
+    n_chunks = dp // chunk
+    if n_chunks == 1:
+        return encode(tlbr)
+
+    def body(carry, xs):
+        start, piece = xs
+        feats = jax.lax.cond(
+            n_live > start,
+            lambda: encode(piece),
+            lambda: jnp.zeros((chunk, out_dim), jnp.float32))
+        return carry, feats
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    _, feats = jax.lax.scan(
+        body, None, (starts, tlbr.reshape(n_chunks, chunk, 4)))
+    return feats.reshape(dp, out_dim)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -427,17 +438,22 @@ def _encode_chunked_axis1(encode, tlbr: jnp.ndarray, n_live: jnp.ndarray,
                           chunk: int, out_dim: int) -> jnp.ndarray:
     """_encode_chunked over [B, Dp, 4] boxes (chunks on axis 1)."""
     b, dp = tlbr.shape[0], tlbr.shape[1]
-    feats = []
-    for c in range(0, dp, chunk):
-        piece = tlbr[:, c:c + chunk]
-        run = (lambda piece=piece: encode(piece))
-        if c == 0:
-            feats.append(run())
-        else:
-            feats.append(jax.lax.cond(
-                n_live > c, run,
-                lambda: jnp.zeros((b, chunk, out_dim), jnp.float32)))
-    return jnp.concatenate(feats, axis=1)
+    n_chunks = dp // chunk
+    if n_chunks == 1:
+        return encode(tlbr)
+
+    def body(carry, xs):
+        start, piece = xs
+        feats = jax.lax.cond(
+            n_live > start,
+            lambda: encode(piece),
+            lambda: jnp.zeros((b, chunk, out_dim), jnp.float32))
+        return carry, feats
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    chunks = jnp.moveaxis(tlbr.reshape(b, n_chunks, chunk, 4), 1, 0)
+    _, feats = jax.lax.scan(body, None, (starts, chunks))
+    return jnp.moveaxis(feats, 0, 1).reshape(b, dp, out_dim)
 
 
 @functools.partial(

@@ -21,6 +21,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from botsort_tpu.models import FaceReID, FastReIDSBS, YOLOX
 from botsort_tpu.pipeline.frame_step import ModelBundle
@@ -38,6 +39,31 @@ DEFAULT_DETECTOR = (
 DEFAULT_BODY_REID = "mot17_sbs_S50_NMx3x256x128_post_feature_only.onnx"
 DEFAULT_FACE_REID = (
     "face-reidentification-retail-0095_NMx3x128x128_post_feature_only.onnx")
+
+# Startup asset fetch (the reference auto-downloads its ONNX files from
+# GitHub releases before constructing models, demo:1997-2047). Converted
+# orbax checkpoints are distributed as {stem}.tar under a base URL set
+# via this env var; unset = skip fetching (offline environments).
+WEIGHTS_URL_ENV = "BOTSORT_TPU_WEIGHTS_URL"
+
+
+def ensure_checkpoints(model_names, weights_dir: str) -> None:
+    """Fetch any missing checkpoint dirs from $BOTSORT_TPU_WEIGHTS_URL.
+
+    Idempotent: present checkpoints are never re-fetched; without the
+    env var this is a no-op (build_bundle then warns about random init).
+    """
+    base = os.environ.get(WEIGHTS_URL_ENV)
+    if not base:
+        return
+    from botsort_tpu.runtime.download import fetch_checkpoint
+
+    for name in model_names:
+        stem = os.path.splitext(os.path.basename(name))[0]
+        if os.path.isdir(os.path.join(weights_dir, stem)):
+            continue
+        fetch_checkpoint(f"{base.rstrip('/')}/{stem}.tar", weights_dir,
+                         stem)
 
 # Miniature architectures for tests / CI (CPU per-op compile is slow).
 MINI = {
@@ -90,6 +116,9 @@ def build_bundle(
 
     Checkpoint layout: {weights_dir}/{model_file_stem}/ (orbax).
     """
+    if not mini:
+        ensure_checkpoints(
+            (detector_name, body_reid_name, face_reid_name), weights_dir)
     det_kw = MINI["detector"] if mini else dict(num_classes=4, depth=1.33,
                                                 width=1.25)
     body_kw = MINI["body"] if mini else {}
@@ -123,11 +152,40 @@ def build_bundle(
             f"(run tools/import_onnx.py to convert reference weights)"),
             file=sys.stderr)
         if fake_params:
-            # Benchmarks: structurally correct zero params without
-            # running the eager init graph (identical compute cost).
+            # Benchmarks: structurally correct RANDOM params without
+            # running the eager init graph. FLOP cost matches trained
+            # weights exactly; unlike all-zero params the data reaching
+            # NMS's fixpoint loop, top-k, and the JV augmentation loops
+            # is non-degenerate, so data-dependent iteration counts are
+            # realistic. Norm-layer stats get their fixed points
+            # (scale/var=1, bias/mean=0) so activations stay finite.
             shapes = jax.eval_shape(model.init, key, sample)
-            return jax.tree.map(
-                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            paths = [
+                "/".join(str(getattr(p, "key", p)) for p in path)
+                for path, _ in jax.tree_util.tree_flatten_with_path(
+                    shapes)[0]]
+            leaves, treedef = jax.tree.flatten(shapes)
+
+            @jax.jit
+            def make(key):
+                keys = jax.random.split(key, len(leaves))
+                out = []
+                for pk, k, s in zip(paths, keys, leaves):
+                    low = pk.lower()
+                    if not jnp.issubdtype(s.dtype, jnp.floating):
+                        out.append(jnp.zeros(s.shape, s.dtype))
+                    elif "scale" in low or "var" in low:
+                        out.append(jnp.ones(s.shape, s.dtype))
+                    elif "bias" in low or "mean" in low:
+                        out.append(jnp.zeros(s.shape, s.dtype))
+                    else:
+                        fan_in = max(int(np.prod(s.shape[:-1])), 1)
+                        out.append(
+                            jax.random.normal(k, s.shape, s.dtype)
+                            * (1.0 / fan_in) ** 0.5)
+                return out
+
+            return jax.tree.unflatten(treedef, make(key))
         # jit(init): one compiled program instead of hundreds of eager
         # per-op dispatches (slow over this env's device tunnel).
         return jax.jit(model.init)(key, sample)

@@ -63,3 +63,38 @@ def test_fetch_checkpoint_unpacks(http_root, tmp_path):
     # Idempotent.
     assert download.fetch_checkpoint(f"{url}/model_x.tar", weights_dir,
                                      "model_x")
+
+
+def test_ensure_checkpoints_fetches_missing(http_root, tmp_path,
+                                            monkeypatch):
+    from botsort_tpu.runtime import assets
+
+    root, url = http_root
+    # Serve a tarred checkpoint dir for one model stem.
+    stem = "mot17_sbs_S50_NMx3x256x128_post_feature_only"
+    src = tmp_path / "src" / stem
+    src.mkdir(parents=True)
+    (src / "payload.bin").write_bytes(b"weights")
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        tf.add(src, arcname=stem)
+    (root / f"{stem}.tar").write_bytes(buf.getvalue())
+
+    weights_dir = tmp_path / "weights"
+    weights_dir.mkdir()
+    monkeypatch.setenv(assets.WEIGHTS_URL_ENV, url)
+    assets.ensure_checkpoints([f"{stem}.onnx"], str(weights_dir))
+    assert (weights_dir / stem / "payload.bin").read_bytes() == b"weights"
+    # Idempotent: second call is a no-op (404 for other names tolerated).
+    assets.ensure_checkpoints([f"{stem}.onnx", "missing_model.onnx"],
+                              str(weights_dir))
+    assert (weights_dir / stem).is_dir()
+
+
+def test_ensure_checkpoints_noop_without_env(tmp_path, monkeypatch):
+    from botsort_tpu.runtime import assets
+
+    monkeypatch.delenv(assets.WEIGHTS_URL_ENV, raising=False)
+    weights_dir = tmp_path / "weights"
+    assets.ensure_checkpoints(["some_model.onnx"], str(weights_dir))
+    assert not weights_dir.exists()

@@ -49,6 +49,7 @@ def synth_onnx_layers(flax_entries):
             "kernel": np.transpose(np.asarray(leaf)),  # (out, in) Gemm
             "bias": np.asarray(entries[bias_path])
             if bias_path in entries else None,
+            "transB": 1,
         }))
     return layers
 
@@ -66,7 +67,8 @@ def test_roundtrip_facereid():
 
     entries = import_onnx.flatten_flax_params(params)
     layers = synth_onnx_layers(entries)
-    assignments = import_onnx.assign(entries, layers)
+    assignments, report = import_onnx.assign(entries, layers)
+    assert report == []
 
     ref = dict(entries)
     # Every conv/bn/dense leaf must be reconstructed bit-exactly.

@@ -20,14 +20,10 @@ def test_stage_timers_accumulate():
     assert t.report() == {}
 
 
-def test_import_onnx_degrades_without_onnx(tmp_path):
-    try:
-        import onnx  # noqa: F401
-        import pytest
-
-        pytest.skip("onnx installed; degradation path not applicable")
-    except ImportError:
-        pass
+def test_import_onnx_clean_error_on_missing_file(tmp_path):
+    # The importer no longer requires the `onnx` package (onnx_lite
+    # fallback); a missing input file must still fail cleanly, before
+    # any model construction.
     sys.path.insert(0, "tools")
     import import_onnx
 

@@ -8,23 +8,33 @@ initializers onto our Flax parameter trees:
   * Conv weights: OIHW -> HWIO (grouped convs keep the same transpose).
   * BatchNormalization: (scale, B, mean, var) -> flax BatchNorm
     (scale, bias, mean, var).
-  * Gemm/MatMul: transposed to flax Dense (in, out).
+  * Gemm/MatMul: transposed to flax Dense (in, out) per the Gemm transB
+    attribute (shape-based guessing only when no attribute exists).
 
 Matching is structural: ONNX nodes in topological order are paired with
 our parameters in module-instantiation order (natural-sorted flax paths),
 with shape checking at every step — a mismatch aborts with both
-signatures printed, so a silent misload is impossible.
+signatures printed. When the layer COUNTS disagree (e.g. an extra
+identity conv in the export), a shape-signature LCS alignment is
+attempted as a fallback and the unmatched remainder is reported; use
+--dump-manifest to print both full signatures for manual inspection.
 
-Requires the `onnx` package (NOT bundled in this environment — the tool
-degrades to a clear error). Usage:
+Parsing uses the `onnx` package when installed, else falls back to the
+dependency-free wire-format reader in tools/onnx_lite.py — so the
+conversion runs in environments (like this one) where onnx cannot be
+installed.
 
-  python tools/import_onnx.py --model yolox --onnx path/to/detector.onnx \
+Usage:
+  python tools/import_onnx.py --model yolox --onnx detector.onnx \
       --out weights/<model_stem>
+  python tools/import_onnx.py --model yolox --onnx detector.onnx \
+      --dump-manifest
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 
@@ -61,59 +71,175 @@ def flatten_flax_params(params):
     return entries
 
 
-def extract_onnx_layers(onnx_model):
+def load_onnx_graph(path: str):
+    """(nodes, initializers) with a package-agnostic node view.
+
+    nodes: [{op_type, name, input: [...], transB: int|None}]
+    initializers: {name: np.ndarray}
+    Prefers the `onnx` package; falls back to tools/onnx_lite.py.
+    """
+    try:
+        import onnx
+        from onnx import numpy_helper
+
+        model = onnx.load(path)
+        init = {i.name: numpy_helper.to_array(i)
+                for i in model.graph.initializer}
+        nodes = []
+        for n in model.graph.node:
+            trans_b = None
+            for a in n.attribute:
+                if a.name == "transB":
+                    trans_b = a.i
+            nodes.append(dict(op_type=n.op_type, name=n.name,
+                              input=list(n.input), transB=trans_b))
+        return nodes, init
+    except ImportError:
+        from tools import onnx_lite
+
+        model = onnx_lite.load(path)
+        init = {t.name: t.array for t in model.graph.initializer}
+        nodes = []
+        for n in model.graph.node:
+            a = n.attributes.get("transB")
+            nodes.append(dict(op_type=n.op_type, name=n.name,
+                              input=list(n.input),
+                              transB=a.i if a is not None else None))
+        return nodes, init
+
+
+def extract_onnx_layers(nodes, init):
     """Yield (kind, arrays) tuples in topological node order.
 
     kind in {conv, bn, gemm}; arrays are numpy weights for that layer.
     """
-    import onnx
-    from onnx import numpy_helper
-
-    init = {i.name: numpy_helper.to_array(i)
-            for i in onnx_model.graph.initializer}
     layers = []
-    for node in onnx_model.graph.node:
-        if node.op_type == "Conv":
-            w = init.get(node.input[1])
+    for node in nodes:
+        op = node["op_type"]
+        inputs = node["input"]
+        if op == "Conv":
+            w = init.get(inputs[1]) if len(inputs) > 1 else None
             if w is None:
                 continue
-            b = init.get(node.input[2]) if len(node.input) > 2 else None
-            layers.append(("conv", {"kernel": w, "bias": b}))
-        elif node.op_type == "BatchNormalization":
-            arrs = [init.get(n) for n in node.input[1:5]]
+            b = init.get(inputs[2]) if len(inputs) > 2 else None
+            layers.append(("conv", {"kernel": w, "bias": b,
+                                    "name": node["name"]}))
+        elif op == "BatchNormalization":
+            arrs = [init.get(n) for n in inputs[1:5]]
             if any(a is None for a in arrs):
                 continue
             scale, bias, mean, var = arrs
             layers.append(("bn", {"scale": scale, "bias": bias,
-                                  "mean": mean, "var": var}))
-        elif node.op_type in ("Gemm", "MatMul"):
-            w = init.get(node.input[1])
+                                  "mean": mean, "var": var,
+                                  "name": node["name"]}))
+        elif op in ("Gemm", "MatMul"):
+            w = init.get(inputs[1]) if len(inputs) > 1 else None
             if w is None:
                 continue
-            b = init.get(node.input[2]) if len(node.input) > 2 else None
-            layers.append(("gemm", {"kernel": w, "bias": b}))
+            b = init.get(inputs[2]) if len(inputs) > 2 else None
+            # Gemm default transB=0 -> (in, out); the common PyTorch
+            # export sets transB=1 -> (out, in). MatMul is (in, out).
+            trans = node["transB"] if op == "Gemm" else 0
+            layers.append(("gemm", {"kernel": w, "bias": b,
+                                    "transB": trans,
+                                    "name": node["name"]}))
     return layers
 
 
-def assign(flax_entries, onnx_layers):
-    """Greedy in-order assignment with shape verification.
+def _flax_shape_of(kind, path, leaf):
+    if kind == "conv":
+        # flax HWIO -> the ONNX OIHW signature for comparison.
+        h, w, i, o = leaf.shape
+        return (o, i, h, w)
+    return tuple(leaf.shape)
 
-    Returns {path: np.ndarray}. Raises on any shape mismatch so a
-    silent misload is impossible.
+
+def _onnx_shape_of(kind, arrs):
+    if kind == "bn":
+        return tuple(arrs["scale"].shape)
+    w = arrs["kernel"]
+    if kind == "gemm" and arrs.get("transB"):
+        return tuple(np.transpose(w).shape)
+    return tuple(w.shape)
+
+
+def _lcs_align(flax_sigs, onnx_sigs):
+    """Longest-common-subsequence alignment over shape signatures.
+
+    Returns [(flax_idx, onnx_idx)] for matched pairs. Used as the
+    fallback when layer counts differ (an export with an extra or
+    missing layer): order is preserved, equal-shape runs align greedily,
+    insertions/deletions are skipped and reported by the caller.
+    """
+    n, m = len(flax_sigs), len(onnx_sigs)
+    lcs = np.zeros((n + 1, m + 1), dtype=np.int32)
+    for i in range(n - 1, -1, -1):
+        for j in range(m - 1, -1, -1):
+            if flax_sigs[i] == onnx_sigs[j]:
+                lcs[i, j] = 1 + lcs[i + 1, j + 1]
+            else:
+                lcs[i, j] = max(lcs[i + 1, j], lcs[i, j + 1])
+    pairs = []
+    i = j = 0
+    while i < n and j < m:
+        if flax_sigs[i] == onnx_sigs[j]:
+            pairs.append((i, j))
+            i += 1
+            j += 1
+        elif lcs[i + 1, j] >= lcs[i, j + 1]:
+            i += 1
+        else:
+            j += 1
+    return pairs
+
+
+def assign(flax_entries, onnx_layers, strict=True):
+    """In-order assignment with shape verification.
+
+    Returns ({path: np.ndarray}, [report lines]). With strict=True a
+    count mismatch raises; otherwise the LCS fallback aligns what it can
+    and reports the remainder. Shape mismatches on aligned pairs always
+    raise — a silent misload of same-COUNT-different-shape layers is
+    impossible; same-shape swaps are undetectable by construction (run
+    an activation-level check after import, see --selfcheck).
     """
     out = {}
+    report = []
+    flax_map = dict(flax_entries)
 
     def take(kind_name, flax_list, onnx_list, emit):
+        pairs = list(zip(range(len(flax_list)), range(len(onnx_list))))
         if len(flax_list) != len(onnx_list):
-            raise ValueError(
-                f"{kind_name} count mismatch: flax {len(flax_list)} vs "
-                f"onnx {len(onnx_list)} — architectures differ")
-        for (path, leaf), arrs in zip(flax_list, onnx_list):
+            msg = (f"{kind_name} count mismatch: flax {len(flax_list)} vs "
+                   f"onnx {len(onnx_list)}")
+            if strict:
+                raise ValueError(msg + " — architectures differ (re-run "
+                                 "with --lenient for LCS alignment, or "
+                                 "--dump-manifest to inspect)")
+            flax_sigs = [_flax_shape_of(kind_name, p, l)
+                         for p, l in flax_list]
+            onnx_sigs = [_onnx_shape_of(kind_name, a) for a in onnx_list]
+            pairs = _lcs_align(flax_sigs, onnx_sigs)
+            matched_f = {i for i, _ in pairs}
+            matched_o = {j for _, j in pairs}
+            report.append(f"WARNING: {msg}; LCS aligned {len(pairs)}")
+            for i, (p, _) in enumerate(flax_list):
+                if i not in matched_f:
+                    report.append(f"  unmatched flax {kind_name}: {p} "
+                                  f"{flax_sigs[i]}")
+            for j, a in enumerate(onnx_list):
+                if j not in matched_o:
+                    report.append(f"  unmatched onnx {kind_name}: "
+                                  f"{a.get('name', '?')} {onnx_sigs[j]}")
+        for fi, oi in pairs:
+            path, leaf = flax_list[fi]
+            arrs = onnx_list[oi]
             for sub_path, w in emit(path, arrs):
-                ref = dict(flax_entries)[sub_path]
+                ref = flax_map[sub_path]
                 if tuple(w.shape) != tuple(ref.shape):
                     raise ValueError(
-                        f"{sub_path}: flax {ref.shape} vs onnx {w.shape}")
+                        f"{sub_path}: flax {ref.shape} vs onnx {w.shape} "
+                        f"(onnx node {arrs.get('name', '?')})")
                 out[sub_path] = w
 
     # Convolutions: OIHW -> HWIO (grouped convs keep the transpose:
@@ -125,7 +251,7 @@ def assign(flax_entries, onnx_layers):
         [(path, np.transpose(arrs["kernel"], (2, 3, 1, 0)))]
         + ([(path.rsplit("/", 1)[0] + "/bias", arrs["bias"])]
            if arrs["bias"] is not None
-           and (path.rsplit("/", 1)[0] + "/bias") in dict(flax_entries)
+           and (path.rsplit("/", 1)[0] + "/bias") in flax_map
            else [])))
 
     # BatchNormalization: (scale, B, mean, var) -> flax BatchNorm
@@ -146,10 +272,12 @@ def assign(flax_entries, onnx_layers):
             (stats_base + "/var", arrs["var"]),
         ]
 
-    take("batchnorm", bn_scales, onnx_bns, emit_bn)
+    take("bn", bn_scales, onnx_bns, emit_bn)
 
-    # Dense / Gemm: ONNX Gemm weight is (out, in) (transB=1 convention);
-    # MatMul weight is (in, out). Flax Dense kernels are (in, out).
+    # Dense / Gemm: flax Dense kernels are (in, out); transpose per the
+    # Gemm transB attribute (transB=1 stores (out, in)). MatMul and
+    # attribute-free Gemm are (in, out) already; shape-guess only when
+    # no attribute was present AND the matrix is non-square.
     dense_kernels = [(p, l) for p, l in flax_entries
                      if ("/Dense_" in p and p.endswith("kernel"))
                      and l.ndim == 2]
@@ -157,17 +285,59 @@ def assign(flax_entries, onnx_layers):
 
     def emit_dense(path, arrs):
         w = arrs["kernel"]
-        ref = dict(flax_entries)[path]
-        if tuple(w.shape) != tuple(ref.shape):
+        if arrs.get("transB"):
             w = np.transpose(w)
+        elif arrs.get("transB") is None:
+            ref = flax_map[path]
+            if tuple(w.shape) != tuple(ref.shape):
+                w = np.transpose(w)
         entries = [(path, w)]
         bias_path = path.rsplit("/", 1)[0] + "/bias"
-        if arrs.get("bias") is not None and bias_path in dict(flax_entries):
+        if arrs.get("bias") is not None and bias_path in flax_map:
             entries.append((bias_path, arrs["bias"]))
         return entries
 
     take("dense", dense_kernels, onnx_dense, emit_dense)
-    return out
+    return out, report
+
+
+def dump_manifest(flax_entries, onnx_layers, file=None):
+    """Print both signatures side-by-side for manual alignment."""
+    file = file if file is not None else sys.stdout
+    conv = [(p, _flax_shape_of("conv", p, l)) for p, l in flax_entries
+            if p.endswith("kernel") and l.ndim == 4]
+    bn = [(p, tuple(l.shape)) for p, l in flax_entries
+          if "/BatchNorm_" in p and p.endswith("scale")]
+    dense = [(p, tuple(l.shape)) for p, l in flax_entries
+             if "/Dense_" in p and p.endswith("kernel") and l.ndim == 2]
+    groups = {"conv": conv, "bn": bn, "gemm": dense}
+    for kind in ("conv", "bn", "gemm"):
+        ours = groups[kind]
+        theirs = [(a.get("name", "?"), _onnx_shape_of(kind, a))
+                  for k, a in onnx_layers if k == kind]
+        print(f"== {kind}: flax {len(ours)} vs onnx {len(theirs)}",
+              file=file)
+        for i in range(max(len(ours), len(theirs))):
+            left = f"{ours[i][0]} {ours[i][1]}" if i < len(ours) else "-"
+            right = (f"{theirs[i][0]} {theirs[i][1]}"
+                     if i < len(theirs) else "-")
+            mark = " " if (i < len(ours) and i < len(theirs)
+                           and ours[i][1] == theirs[i][1]) else "!"
+            print(f"{mark} [{i:3d}] {left:<60s} | {right}", file=file)
+
+
+def build_model(name: str):
+    import jax.numpy as jnp
+
+    from botsort_tpu.models import FaceReID, FastReIDSBS, YOLOX
+
+    model = {"yolox": YOLOX(num_classes=4, depth=1.33, width=1.25),
+             "fastreid": FastReIDSBS(),
+             "facereid": FaceReID()}[name]
+    sample = {"yolox": jnp.zeros((1, 480, 640, 3)),
+              "fastreid": jnp.zeros((1, 256, 128, 3)),
+              "facereid": jnp.zeros((1, 128, 128, 3))}[name]
+    return model, sample
 
 
 def main(argv=None):
@@ -175,36 +345,50 @@ def main(argv=None):
     parser.add_argument("--model", choices=["yolox", "fastreid", "facereid"],
                         required=True)
     parser.add_argument("--onnx", required=True)
-    parser.add_argument("--out", required=True)
+    parser.add_argument("--out")
+    parser.add_argument("--dump-manifest", action="store_true",
+                        help="print both layer signatures and exit")
+    parser.add_argument("--lenient", action="store_true",
+                        help="on layer-count mismatch, LCS-align by shape "
+                             "signature instead of aborting")
+    parser.add_argument("--selfcheck", action="store_true",
+                        help="after import, run the flax model on a fixed "
+                             "input and print output statistics (compare "
+                             "against an onnxruntime run of the source "
+                             "model where available)")
     args = parser.parse_args(argv)
 
-    try:
-        import onnx  # noqa: F401
-    except ImportError:
-        print("ERROR: the `onnx` package is not installed in this "
-              "environment (no network egress to fetch it). Install onnx "
-              "and re-run to convert reference weights.", file=sys.stderr)
+    if not os.path.isfile(args.onnx):
+        print(f"ERROR: ONNX file not found: {args.onnx}", file=sys.stderr)
         return 2
 
     import jax
-    import jax.numpy as jnp
 
-    from botsort_tpu.models import FaceReID, FastReIDSBS, YOLOX
     from botsort_tpu.runtime.assets import save_checkpoint
 
-    model = {"yolox": YOLOX(num_classes=4, depth=1.33, width=1.25),
-             "fastreid": FastReIDSBS(),
-             "facereid": FaceReID()}[args.model]
-    sample = {"yolox": jnp.zeros((1, 480, 640, 3)),
-              "fastreid": jnp.zeros((1, 256, 128, 3)),
-              "facereid": jnp.zeros((1, 128, 128, 3))}[args.model]
-    params = model.init(jax.random.PRNGKey(0), sample)
+    model, sample = build_model(args.model)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
 
-    onnx_model = onnx.load(args.onnx)
-    layers = extract_onnx_layers(onnx_model)
-    assignments = assign(flatten_flax_params(params), layers)
+    nodes, init = load_onnx_graph(args.onnx)
+    layers = extract_onnx_layers(nodes, init)
+    flax_entries = flatten_flax_params(params)
 
-    flat = dict(flatten_flax_params(params))
+    if args.dump_manifest:
+        dump_manifest(flax_entries, layers)
+        return 0
+    if not args.out:
+        print("ERROR: --out is required unless --dump-manifest",
+              file=sys.stderr)
+        return 2
+
+    assignments, report = assign(flax_entries, layers,
+                                 strict=not args.lenient)
+    for line in report:
+        print(line, file=sys.stderr)
+
+    import jax.numpy as jnp
+
+    flat = dict(flax_entries)
     for path, value in assignments.items():
         flat[path] = jnp.asarray(value)
     # Rebuild the tree.
@@ -214,6 +398,17 @@ def main(argv=None):
                               for k, v in flat.items()})
     save_checkpoint(args.out, rebuilt)
     print(f"wrote {args.out} ({len(assignments)} tensors converted)")
+
+    if args.selfcheck:
+        out = jax.jit(model.apply)(rebuilt, sample)
+        flatout = jax.tree.leaves(out)
+        for i, o in enumerate(flatout):
+            o = np.asarray(o, dtype=np.float64)
+            print(f"selfcheck output[{i}]: shape {o.shape} "
+                  f"mean {o.mean():.6f} std {o.std():.6f} "
+                  f"absmax {np.abs(o).max():.6f}")
+        print("selfcheck: compare these against the ONNX model run with "
+              "onnxruntime on a zeros input to catch same-shape swaps.")
     return 0
 
 
