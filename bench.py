@@ -106,13 +106,6 @@ def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
     store, valid = run_k(bundle, store, frames_k)
     _ = jax.device_get(valid)
     compile_s = time.time() - t0
-    flops_per_frame = None
-    try:
-        an = run_k.lower(bundle, store, frames_k).compile().cost_analysis()
-        if an and "flops" in an:
-            flops_per_frame = float(an["flops"]) / k
-    except Exception:
-        pass
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -188,14 +181,28 @@ def main():
     loaded_cfg = TrackerConfig(
         det_score_threshold=0.2, track_high_thresh=0.15,
         track_low_thresh=0.05, new_track_thresh=0.2)
-    fps_loaded, compile_s, n_tracks, flops_frame = run_config(
+    fps_loaded, compile_s, n_tracks = run_config(
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
         empty_store)
 
     # Reference-default config (empty scene with random weights).
-    fps_empty, _, _, _ = run_config(
+    fps_empty, _, _ = run_config(
         frame_step, bundle, TrackerConfig(), nms_cfg, pipe_cfg, frames,
         empty_store)
+
+    # Analytic conv/dot FLOPs under full crowd load (XLA's
+    # cost_analysis() under-counts convolutions on this backend): the
+    # detector forward + the large ReID bucket both body and face
+    # encoders run when >16 detections are live (tools/perf_probe.py).
+    from tools.perf_probe import model_conv_flops
+
+    dp = 64  # padded crop width at max_dets=50, bucket granularity 16
+    flops_frame = (
+        model_conv_flops(bundle.detector, jnp.zeros((1, 480, 640, 3)))
+        + model_conv_flops(bundle.body_encoder,
+                           jnp.zeros((dp, 256, 128, 3)))
+        + model_conv_flops(bundle.face_encoder,
+                           jnp.zeros((dp, 128, 128, 3))))
 
     # Multi-stream throughput: B streams batched through one chip
     # (pipeline/frame_step.py::frame_step_batched). B=8 amortizes the
@@ -204,8 +211,7 @@ def main():
                               frames, empty_store, b=8, k=4)
 
     # v5e peak: 197 TFLOP/s bf16 (per chip).
-    mfu = (round(flops_frame * fps_loaded / 197e12, 4)
-           if flops_frame else None)
+    mfu = round(flops_frame * fps_loaded / 197e12, 4)
     print(json.dumps({
         "metric": "e2e_tracked_fps_480x640_loaded",
         "value": round(fps_loaded, 2),
@@ -218,17 +224,16 @@ def main():
         "empty_scene_fps": round(fps_empty, 2),
         "batched_8stream_aggregate_fps": round(fps_batched, 2),
         "mfu": mfu,
-        "flops_per_frame_g": (round(flops_frame / 1e9, 1)
-                              if flops_frame else None),
+        "flops_per_frame_g": round(flops_frame / 1e9, 1),
         "baseline_assumption": "the reference publishes no FPS table; "
                                "vs_baseline divides by its 30 FPS "
                                "real-time RTX-30xx TRT-fp16 operating "
                                "point (README latency overlays)",
         "notes": "device-side throughput (32-step in-program scan, best "
                  "of 5): full pipeline under load — YOLOX-X det + "
-                 "chunked SBS-S50 body ReID + face ReID + fused cascade "
-                 "with live track pool, random nonzero weights, 1080p "
-                 "source frames",
+                 "bucketed SBS-S50 body ReID (64 crops live) + face "
+                 "ReID + fused cascade with live track pool, bf16 "
+                 "weights (random), 1080p source frames",
     }))
 
 

@@ -8,6 +8,13 @@ program, so a pop costs a handful of back-to-back VPU ops. Same
 algorithm, same results (validated against the XLA solver and the scipy
 oracle in tests/test_assignment.py).
 
+Batching: the kernel is natively batched over a leading grid dimension
+(one grid step per problem instance; scratch reused across steps), and
+``jv_solve_pallas`` carries a ``custom_vmap`` rule that routes
+``jax.vmap`` (e.g. the multi-stream cascade in frame_step_batched) to
+that grid instead of pallas's default batching, which produces SMEM
+block shapes Mosaic cannot lower.
+
 Mosaic notes: all vector state (potentials, Dijkstra labels, matching)
 lives in VMEM scratch refs — loops carry only scalars, sidestepping
 layout inference on loop-carried vectors; every vector is 2-D (1, S);
@@ -33,6 +40,7 @@ _INF = 1e30  # plain float: Pallas kernels cannot capture array constants
 def _jv_kernel(ext_ref, p0_ref, live_order_ref, n_live_ref, p_ref,
                minv_ref, way_ref, used_ref, onpath_ref, u_ref, v_ref,
                max_iters: int):
+    b = pl.program_id(0)
     s = ext_ref.shape[0]
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)        # (1, S)
 
@@ -43,10 +51,10 @@ def _jv_kernel(ext_ref, p0_ref, live_order_ref, n_live_ref, p_ref,
     u_ref[:, :] = jnp.zeros((1, s), jnp.float32)
     v_ref[:, :] = jnp.zeros((1, s), jnp.float32)
     p_ref[:, :] = p0_ref[:, :]
-    n_live = n_live_ref[0]
+    n_live = n_live_ref[b, 0]
 
     def outer_body(k):
-        i = live_order_ref[k]
+        i = live_order_ref[b, k]
 
         minv_ref[:, :] = jnp.full((1, s), _INF, jnp.float32)
         way_ref[:, :] = jnp.full((1, s), s, jnp.int32)
@@ -103,6 +111,60 @@ def _jv_kernel(ext_ref, p0_ref, live_order_ref, n_live_ref, p_ref,
     jax.lax.while_loop(lambda k: k < n_live, outer_body, jnp.int32(0))
 
 
+def _jv_call_batched(ext, p0, live_order, n_live, max_iters: int,
+                     interpret: bool):
+    """One grid step per problem: ext [B,S,S], p0 [B,1,S],
+    live_order [B,S], n_live [B,1] -> owner [B,1,S]."""
+    bsz, sp = ext.shape[0], ext.shape[1]
+    return pl.pallas_call(
+        functools.partial(_jv_kernel, max_iters=max_iters),
+        grid=(bsz,),
+        out_shape=jax.ShapeDtypeStruct((bsz, 1, sp), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((None, sp, sp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, 1, sp), lambda b: (b, 0, 0)),
+            # Scalar-prefetch style inputs: full arrays in SMEM, indexed
+            # by program_id inside the kernel (blocked SMEM specs with a
+            # unit leading block don't lower on Mosaic).
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 1, sp), lambda b: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, sp), jnp.float32),   # minv
+            pltpu.VMEM((1, sp), jnp.int32),     # way
+            pltpu.VMEM((1, sp), jnp.int32),     # used
+            pltpu.VMEM((1, sp), jnp.int32),     # on_path
+            pltpu.VMEM((1, sp), jnp.float32),   # u
+            pltpu.VMEM((1, sp), jnp.float32),   # v
+        ],
+        interpret=interpret,
+    )(ext, p0, live_order, n_live)
+
+
+@functools.lru_cache(maxsize=None)
+def _get_jv_call(max_iters: int, interpret: bool):
+    """custom_vmap wrapper: a single solve runs as a 1-step grid; a
+    vmapped solve (multi-stream cascade) runs as a B-step grid in ONE
+    kernel — never pallas's default batching rule."""
+
+    @jax.custom_batching.custom_vmap
+    def jv_call(ext, p0, live_order, n_live):
+        return _jv_call_batched(
+            ext[None], p0[None], live_order[None], n_live[None],
+            max_iters, interpret)[0]
+
+    @jv_call.def_vmap
+    def _jv_call_vmap(axis_size, in_batched, ext, p0, live_order, n_live):
+        args = [
+            x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+            for x, b in zip((ext, p0, live_order, n_live), in_batched)
+        ]
+        return _jv_call_batched(*args, max_iters, interpret), True
+
+    return jv_call
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters", "interpret"))
 def jv_solve_pallas(
     ext: jnp.ndarray,
@@ -140,29 +202,7 @@ def jv_solve_pallas(
         .set(rows)[:sp]
     )
 
-    owner = pl.pallas_call(
-        functools.partial(_jv_kernel, max_iters=max_iters),
-        out_shape=jax.ShapeDtypeStruct((1, sp), jnp.int32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((1, sp), jnp.float32),   # minv
-            pltpu.VMEM((1, sp), jnp.int32),     # way
-            pltpu.VMEM((1, sp), jnp.int32),     # used
-            pltpu.VMEM((1, sp), jnp.int32),     # on_path
-            pltpu.VMEM((1, sp), jnp.float32),   # u
-            pltpu.VMEM((1, sp), jnp.float32),   # v
-        ],
-        interpret=interpret,
-    )(
-        ext.astype(jnp.float32),
-        p0[None, :],
-        live_order,
-        n_live[None],
-    )[0]
+    owner = _get_jv_call(max_iters, interpret)(
+        ext.astype(jnp.float32), p0[None, :], live_order,
+        n_live[None])[0]
     return owner[:s]

@@ -75,33 +75,27 @@ def _encode_chunked(encode, tlbr: jnp.ndarray, n_live: jnp.ndarray,
     compaction in ops/nms.py) and yield zero features, which the cascade
     never reads (every det-feature consumer is masked by det validity).
     This keeps ONE compiled program: sparse frames pay one chunk of
-    encoder FLOPs, crowds scale in chunk steps — the TPU answer to the
+    encoder FLOPs, crowds scale in bucket steps — the TPU answer to the
     reference's 100 per-batch-size TensorRT engines
     (optimize_reid_tensorrt_engine.sh:19-21).
 
-    Structured as a lax.scan over chunks with the cond INSIDE the body,
-    so the program contains ONE instance of the encoder HLO regardless
-    of the chunk count (an unrolled per-chunk cond duplicates the full
-    encoder per chunk — big enough to overflow this environment's
-    remote-compile request limit).
+    Two power-of-2 buckets (SURVEY §7 step 4): the small `chunk` batch
+    when the live count fits (the common case), the full padded width
+    otherwise. ReID MFU rises steeply with batch on v5e (measured 20%
+    at 16 vs 38% at 64, tools/perf_probe.py), so ONE big batch beats a
+    scan of 16-wide chunks ~2x under crowd load while sparse scenes
+    keep paying only the small batch. Exactly one encoder instance
+    executes per frame (lax.cond); slots beyond the selected bucket
+    are zeros.
     """
     dp = tlbr.shape[0]
-    n_chunks = dp // chunk
-    if n_chunks == 1:
+    if dp <= chunk:
         return encode(tlbr)
-
-    def body(carry, xs):
-        start, piece = xs
-        feats = jax.lax.cond(
-            n_live > start,
-            lambda: encode(piece),
-            lambda: jnp.zeros((chunk, out_dim), jnp.float32))
-        return carry, feats
-
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    _, feats = jax.lax.scan(
-        body, None, (starts, tlbr.reshape(n_chunks, chunk, 4)))
-    return feats.reshape(dp, out_dim)
+    return jax.lax.cond(
+        n_live > chunk,
+        lambda: encode(tlbr),
+        lambda: jnp.pad(encode(tlbr[:chunk]),
+                        ((0, dp - chunk), (0, 0))))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -386,15 +380,16 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
     # slots are a prefix per stream; streams share one program).
     n_live = jnp.max(jnp.sum(body_valid, axis=1))
 
-    def encode_body(tlbr_chunk):                        # [B, r, 4]
+    def encode_body(tlbr_chunk):                        # [B, rc, 4]
+        rc = tlbr_chunk.shape[1]
         crops = jax.vmap(
             lambda f, bt: crop.crop_and_resize(
                 f, bt, pipe_cfg.body_reid_input_hw))(frames_f, tlbr_chunk)
         return bundle.body_encoder.apply(
             bundle.body_params,
             fastreid_mod.preprocess(
-                crops.reshape((b * r,) + crops.shape[2:]))
-        ).reshape(b, r, -1)
+                crops.reshape((b * rc,) + crops.shape[2:]))
+        ).reshape(b, rc, -1)
 
     body_feats = _encode_chunked_axis1(
         encode_body, body_tlbr_p, n_live, r,
@@ -412,13 +407,14 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
     face_tlbr = jnp.stack(face_tlbr_list)
 
     def encode_face(tlbr_chunk):
+        rc = tlbr_chunk.shape[1]
         crops = jax.vmap(
             lambda f, ft: crop.crop_and_resize(
                 f, ft, pipe_cfg.face_reid_input_hw))(frames_f, tlbr_chunk)
         return bundle.face_encoder.apply(
             bundle.face_params,
-            crops.reshape((b * r,) + crops.shape[2:])
-        ).reshape(b, r, -1)
+            crops.reshape((b * rc,) + crops.shape[2:])
+        ).reshape(b, rc, -1)
 
     face_feats = _encode_chunked_axis1(
         encode_face, face_tlbr, n_live, r,
@@ -436,24 +432,15 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
 
 def _encode_chunked_axis1(encode, tlbr: jnp.ndarray, n_live: jnp.ndarray,
                           chunk: int, out_dim: int) -> jnp.ndarray:
-    """_encode_chunked over [B, Dp, 4] boxes (chunks on axis 1)."""
-    b, dp = tlbr.shape[0], tlbr.shape[1]
-    n_chunks = dp // chunk
-    if n_chunks == 1:
+    """_encode_chunked over [B, Dp, 4] boxes (buckets on axis 1)."""
+    dp = tlbr.shape[1]
+    if dp <= chunk:
         return encode(tlbr)
-
-    def body(carry, xs):
-        start, piece = xs
-        feats = jax.lax.cond(
-            n_live > start,
-            lambda: encode(piece),
-            lambda: jnp.zeros((b, chunk, out_dim), jnp.float32))
-        return carry, feats
-
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    chunks = jnp.moveaxis(tlbr.reshape(b, n_chunks, chunk, 4), 1, 0)
-    _, feats = jax.lax.scan(body, None, (starts, chunks))
-    return jnp.moveaxis(feats, 0, 1).reshape(b, dp, out_dim)
+    return jax.lax.cond(
+        n_live > chunk,
+        lambda: encode(tlbr),
+        lambda: jnp.pad(encode(tlbr[:, :chunk]),
+                        ((0, 0), (0, dp - chunk), (0, 0))))
 
 
 @functools.partial(

@@ -31,3 +31,26 @@ def test_kernel_matches_xla_solver(seed):
     assert abs(cost_got - cost_want) < 1e-4
     # Every column owned, ownership a permutation.
     assert sorted(got.tolist()) == list(range(s))
+
+
+def test_vmapped_kernel_matches_per_instance():
+    """vmap must route through the kernel's custom batching rule (one
+    B-step grid) and agree with per-instance solves — the multi-stream
+    cascade path (frame_step_batched vmaps tracker_update)."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    b, s = 5, 24
+    ext = jnp.asarray(rng.random((b, s, s)).astype(np.float32))
+    parked = jnp.zeros((b, s), dtype=bool).at[:, 9:].set(True)
+    pcol = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+
+    solve = lambda e, p, c: jv_solve_pallas(e, p, c, max_iters=512,
+                                            interpret=True)
+    got = np.asarray(jax.vmap(solve)(ext, parked, pcol))
+    for i in range(b):
+        want = np.asarray(solve(ext[i], parked[i], pcol[i]))
+        cost_got = sum(float(ext[i, got[i, j], j]) for j in range(s))
+        cost_want = sum(float(ext[i, want[j], j]) for j in range(s))
+        assert abs(cost_got - cost_want) < 1e-4
+        assert sorted(got[i].tolist()) == list(range(s))

@@ -1,0 +1,175 @@
+"""Component-level device timing for the frame step.
+
+Times each stage of the pipeline as its own K-step in-program scan
+(device-side method from bench.py — the only reliable timing through
+this environment's tunnel, see CLAUDE.md), with analytic FLOP counts so
+the MFU per stage is trustworthy (XLA's cost_analysis() under-counts
+convolutions on this backend).
+
+Run (TPU, serialized with any other TPU process):
+  python tools/perf_probe.py [--stages detector,body,face,cascade,full]
+
+Reports one JSON line per stage: {stage, ms, gflops, mfu, fps}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+V5E_PEAK_BF16 = 197e12
+
+
+def model_conv_flops(model, sample):
+    """Analytic conv+dot FLOPs of model.apply on sample (batch incl.)."""
+    import jax
+
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), sample)
+    jaxpr = jax.make_jaxpr(lambda p, x: model.apply(p, x))(params, sample)
+    total = [0.0]
+
+    def count(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "conv_general_dilated":
+                out = eqn.outvars[0].aval
+                rhs = eqn.invars[1].aval
+                kh, kw, cin_g = rhs.shape[0], rhs.shape[1], rhs.shape[2]
+                total[0] += 2.0 * np.prod(out.shape) * kh * kw * cin_g
+            elif eqn.primitive.name == "dot_general":
+                out = eqn.outvars[0].aval
+                lhs = eqn.invars[0].aval
+                ((lc, _), _) = eqn.params["dimension_numbers"]
+                k = np.prod([lhs.shape[d] for d in lc])
+                total[0] += 2.0 * np.prod(out.shape) * k
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    count(sub.jaxpr)
+                elif isinstance(sub, (list, tuple)):
+                    for s in sub:
+                        if hasattr(s, "jaxpr"):
+                            count(s.jaxpr)
+
+    count(jaxpr.jaxpr)
+    return total[0]
+
+
+def time_scan(fn, params, init_carry, xs, k, reps=5):
+    """Best-of-reps seconds for ONE program scanning fn over k steps.
+
+    params rides as a jit ARGUMENT (a closure would lower the tree as
+    program constants — hundreds of MB, overflowing this environment's
+    remote-compile request)."""
+    import jax
+
+    @jax.jit
+    def run(params, carry, xs):
+        return jax.lax.scan(lambda c, x: fn(params, c, x), carry, xs)
+
+    carry, out = run(params, init_carry, xs)
+    _ = jax.device_get(jax.tree.leaves(out)[0])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        carry, out = run(params, carry, xs)
+        _ = jax.device_get(jax.tree.leaves(out)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best / k
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--stages", default="detector,body,face,full")
+    parser.add_argument("--k", type=int, default=16)
+    parser.add_argument("--bf16-params", action="store_true",
+                        help="pre-cast model params to bfloat16")
+    args = parser.parse_args()
+    stages = set(args.stages.split(","))
+
+    import jax
+    import jax.numpy as jnp
+
+    from botsort_tpu.config import NMSConfig, PipelineConfig, TrackerConfig
+    from botsort_tpu.runtime import assets
+    from botsort_tpu.runtime.device import setup_compilation_cache
+
+    setup_compilation_cache()
+    bundle = assets.build_bundle(fake_params=True)
+    if args.bf16_params:
+        bundle = assets.cast_bundle_bf16(bundle)
+    rng = np.random.default_rng(0)
+
+    if "detector" in stages:
+        x = jnp.asarray(rng.uniform(0, 255, (args.k, 480, 640, 3)),
+                        jnp.float32)
+        sec = time_scan(
+            lambda p, c, f: (c, bundle.detector.apply(p, f[None])[1][0, :8]),
+            bundle.detector_params, jnp.zeros(()), x, args.k)
+        g = model_conv_flops(bundle.detector, jnp.zeros((1, 480, 640, 3)))
+        print(json.dumps({"stage": "detector_b1_480x640",
+                          "ms": round(sec * 1e3, 3),
+                          "gflops": round(g / 1e9, 1),
+                          "mfu": round(g / sec / V5E_PEAK_BF16, 4),
+                          "fps": round(1 / sec, 1)}))
+
+    if "body" in stages:
+        for nb in (16, 64):
+            x = jnp.asarray(rng.uniform(0, 1, (args.k, nb, 256, 128, 3)),
+                            jnp.float32)
+            sec = time_scan(
+                lambda p, c, f: (c, bundle.body_encoder.apply(p, f)[:, :4]),
+                bundle.body_params, jnp.zeros(()), x, args.k)
+            g = model_conv_flops(bundle.body_encoder,
+                                 jnp.zeros((nb, 256, 128, 3)))
+            print(json.dumps({"stage": f"body_reid_b{nb}",
+                              "ms": round(sec * 1e3, 3),
+                              "gflops": round(g / 1e9, 1),
+                              "mfu": round(g / sec / V5E_PEAK_BF16, 4),
+                              "fps": round(1 / sec, 1)}))
+
+    if "face" in stages:
+        x = jnp.asarray(rng.uniform(0, 255, (args.k, 16, 128, 128, 3)),
+                        jnp.float32)
+        sec = time_scan(
+            lambda p, c, f: (c, bundle.face_encoder.apply(p, f)[:, :4]),
+            bundle.face_params, jnp.zeros(()), x, args.k)
+        g = model_conv_flops(bundle.face_encoder,
+                             jnp.zeros((16, 128, 128, 3)))
+        print(json.dumps({"stage": "face_reid_b16",
+                          "ms": round(sec * 1e3, 3),
+                          "gflops": round(g / 1e9, 1),
+                          "mfu": round(g / sec / V5E_PEAK_BF16, 4),
+                          "fps": round(1 / sec, 1)}))
+
+    if "full" in stages:
+        from botsort_tpu.pipeline.frame_step import frame_step
+        from botsort_tpu.track.state import empty_store
+
+        tracker_cfg = TrackerConfig(
+            det_score_threshold=0.2, track_high_thresh=0.15,
+            track_low_thresh=0.05, new_track_thresh=0.2)
+        nms_cfg, pipe_cfg = NMSConfig(), PipelineConfig()
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (args.k, 1080, 1920, 3)), jnp.uint8)
+        store = empty_store(tracker_cfg)
+
+        def step(b, s, f):
+            s2, out = frame_step(b, s, f, tracker_cfg, nms_cfg,
+                                 pipe_cfg)
+            return s2, out.tracks.valid
+
+        sec = time_scan(step, bundle, store, frames, args.k)
+        print(json.dumps({"stage": "full_frame_step_loaded",
+                          "ms": round(sec * 1e3, 3),
+                          "fps": round(1 / sec, 1)}))
+
+
+if __name__ == "__main__":
+    main()
