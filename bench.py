@@ -113,7 +113,7 @@ def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
         valid_np = jax.device_get(valid)
         best = min(best, time.perf_counter() - t0)
     n_tracks = int(np.asarray(valid_np)[-1].sum())
-    return k / best, compile_s, n_tracks, flops_per_frame
+    return k / best, compile_s, n_tracks
 
 
 def run_batched(bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,

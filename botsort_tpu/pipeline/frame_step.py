@@ -79,23 +79,76 @@ def _encode_chunked(encode, tlbr: jnp.ndarray, n_live: jnp.ndarray,
     reference's 100 per-batch-size TensorRT engines
     (optimize_reid_tensorrt_engine.sh:19-21).
 
-    Two power-of-2 buckets (SURVEY §7 step 4): the small `chunk` batch
-    when the live count fits (the common case), the full padded width
-    otherwise. ReID MFU rises steeply with batch on v5e (measured 20%
-    at 16 vs 38% at 64, tools/perf_probe.py), so ONE big batch beats a
-    scan of 16-wide chunks ~2x under crowd load while sparse scenes
-    keep paying only the small batch. Exactly one encoder instance
-    executes per frame (lax.cond); slots beyond the selected bucket
+    Three buckets (SURVEY §7 step 4's power-of-2 plan): zero encoder
+    work when nothing is live (empty scenes / no faces attached), the
+    small `chunk` batch when the live count fits (the common case), the
+    full padded width otherwise. ReID MFU rises steeply with batch on
+    v5e (measured 20% at 16 vs 38% at 64, tools/perf_probe.py), so ONE
+    big batch beats a scan of 16-wide chunks ~2x under crowd load while
+    sparse scenes keep paying only the small batch. Exactly one branch
+    executes per frame (lax.switch); slots beyond the selected bucket
     are zeros.
     """
     dp = tlbr.shape[0]
+
+    def empty():
+        return jnp.zeros((dp, out_dim), jnp.float32)
+
     if dp <= chunk:
-        return encode(tlbr)
-    return jax.lax.cond(
-        n_live > chunk,
-        lambda: encode(tlbr),
-        lambda: jnp.pad(encode(tlbr[:chunk]),
-                        ((0, dp - chunk), (0, 0))))
+        return jax.lax.cond(n_live > 0, lambda: encode(tlbr), empty)
+    return jax.lax.switch(
+        (n_live > 0).astype(jnp.int32) + (n_live > chunk).astype(jnp.int32),
+        [empty,
+         lambda: jnp.pad(encode(tlbr[:chunk]), ((0, dp - chunk), (0, 0))),
+         lambda: encode(tlbr)])
+
+
+def _encode_faces(encode, face_tlbr: jnp.ndarray, has_face: jnp.ndarray,
+                  n_body_live: jnp.ndarray, chunk: int,
+                  out_dim: int) -> jnp.ndarray:
+    """Face embeddings with real-face compaction.
+
+    The reference encodes a ZERO image for every faceless body and EMAs
+    the resulting feature into the track (demo:1437-1441, 575-604,
+    1486). encoder(zero crop) is one constant vector, so sorting real
+    faces to a prefix lets the ReID bucket size track the FACE count
+    instead of the body count; the constant is read from the first
+    zero-crop pad slot of the selected bucket and broadcast to every
+    faceless body slot. Exact reference semantics at a fraction of the
+    encoder FLOPs (20 bodies with 5 faces: one 16-crop batch, not 64).
+    """
+    dp = face_tlbr.shape[0]
+    order = jnp.argsort(jnp.logical_not(has_face), stable=True)
+    inv = jnp.argsort(order)
+    sorted_tlbr = face_tlbr[order]
+    n_face = jnp.sum(has_face)
+    # +1 keeps one zero-crop pad slot inside the selected bucket (the
+    # encoder(0) source); gating on live bodies skips empty scenes.
+    n_eff = jnp.where(n_body_live > 0, n_face + 1, 0)
+    feats = _encode_chunked(encode, sorted_tlbr, n_eff, chunk, out_dim)
+    zero_feat = feats[jnp.minimum(n_face, dp - 1)]
+    live = (jnp.arange(dp) < n_face)[:, None]
+    return jnp.where(live, feats, zero_feat[None, :])[inv]
+
+
+def _encode_faces_axis1(encode, face_tlbr: jnp.ndarray,
+                        has_face: jnp.ndarray, n_body_live: jnp.ndarray,
+                        chunk: int, out_dim: int) -> jnp.ndarray:
+    """_encode_faces over [B, Dp, 4] (per-stream compaction; one shared
+    bucket sized by the max face count across streams)."""
+    dp = face_tlbr.shape[1]
+    order = jnp.argsort(jnp.logical_not(has_face), axis=1, stable=True)
+    inv = jnp.argsort(order, axis=1)
+    sorted_tlbr = jnp.take_along_axis(face_tlbr, order[..., None], axis=1)
+    n_face = jnp.sum(has_face, axis=1)                        # [B]
+    n_eff = jnp.where(n_body_live > 0, jnp.max(n_face) + 1, 0)
+    feats = _encode_chunked_axis1(encode, sorted_tlbr, n_eff, chunk,
+                                  out_dim)
+    zero_feat = jnp.take_along_axis(
+        feats, jnp.minimum(n_face, dp - 1)[:, None, None], axis=1)
+    live = (jnp.arange(dp)[None, :] < n_face[:, None])[..., None]
+    feats = jnp.where(live, feats, zero_feat)
+    return jnp.take_along_axis(feats, inv[..., None], axis=1)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -238,8 +291,8 @@ def frame_step(
             frame_f, tlbr_chunk, pipe_cfg.face_reid_input_hw)
         return bundle.face_encoder.apply(bundle.face_params, crops)
 
-    face_feats = _encode_chunked(
-        encode_face, face_tlbr, n_live, r,
+    face_feats = _encode_faces(
+        encode_face, face_tlbr, has_face, n_live, r,
         tracker_cfg.face_feature_dim)[:d]
 
     # --- Association cascade.
@@ -396,15 +449,18 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
         tracker_cfg.body_feature_dim)[:, :d]
 
     face_tlbr_list = []
+    has_face_list = []
     for s in range(b):
         hb = _pad_slots(results[3 * s + 1][0], dp, fill=-1)
         fb = jnp.where(hb >= 0, results[3 * s][0][jnp.clip(hb, 0, None)],
                        -1)
+        has_face_list.append(fb >= 0)
         face_tlbr_list.append(jnp.where(
             (fb >= 0)[:, None],
             det_boxes[s, faces][jnp.clip(fb, 0, None)],
             jnp.zeros((dp, 4), jnp.float32)))
     face_tlbr = jnp.stack(face_tlbr_list)
+    has_face_b = jnp.stack(has_face_list)
 
     def encode_face(tlbr_chunk):
         rc = tlbr_chunk.shape[1]
@@ -416,8 +472,8 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
             crops.reshape((b * rc,) + crops.shape[2:])
         ).reshape(b, rc, -1)
 
-    face_feats = _encode_chunked_axis1(
-        encode_face, face_tlbr, n_live, r,
+    face_feats = _encode_faces_axis1(
+        encode_face, face_tlbr, has_face_b, n_live, r,
         tracker_cfg.face_feature_dim)[:, :d]
 
     hier = (
@@ -433,14 +489,19 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
 def _encode_chunked_axis1(encode, tlbr: jnp.ndarray, n_live: jnp.ndarray,
                           chunk: int, out_dim: int) -> jnp.ndarray:
     """_encode_chunked over [B, Dp, 4] boxes (buckets on axis 1)."""
-    dp = tlbr.shape[1]
+    b, dp = tlbr.shape[0], tlbr.shape[1]
+
+    def empty():
+        return jnp.zeros((b, dp, out_dim), jnp.float32)
+
     if dp <= chunk:
-        return encode(tlbr)
-    return jax.lax.cond(
-        n_live > chunk,
-        lambda: encode(tlbr),
-        lambda: jnp.pad(encode(tlbr[:, :chunk]),
-                        ((0, 0), (0, dp - chunk), (0, 0))))
+        return jax.lax.cond(n_live > 0, lambda: encode(tlbr), empty)
+    return jax.lax.switch(
+        (n_live > 0).astype(jnp.int32) + (n_live > chunk).astype(jnp.int32),
+        [empty,
+         lambda: jnp.pad(encode(tlbr[:, :chunk]),
+                         ((0, 0), (0, dp - chunk), (0, 0))),
+         lambda: encode(tlbr)])
 
 
 @functools.partial(

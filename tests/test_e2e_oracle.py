@@ -151,9 +151,9 @@ def oracle_features(bundle, frame_f, det_boxes, det_valid, face_for_head,
             frame_f, tlbr_chunk, pipe_cfg.face_reid_input_hw)
         return bundle.face_encoder.apply(bundle.face_params, crops)
 
-    face_feats = fs._encode_chunked(
-        encode_face, jnp.asarray(face_tlbr), n_live, r,
-        tracker_cfg.face_feature_dim)[:d]
+    face_feats = fs._encode_faces(
+        encode_face, jnp.asarray(face_tlbr), jnp.asarray(fb >= 0),
+        n_live, r, tracker_cfg.face_feature_dim)[:d]
     return jax.device_get(body_feats), jax.device_get(face_feats)
 
 

@@ -148,6 +148,72 @@ def main():
                           "mfu": round(g / sec / V5E_PEAK_BF16, 4),
                           "fps": round(1 / sec, 1)}))
 
+    if "resize" in stages:
+        # The per-frame 1080p -> detector-input preprocessing.
+        frames = jnp.asarray(
+            rng.integers(0, 255, (args.k, 1080, 1920, 3)), jnp.uint8)
+
+        def prep(p, c, f):
+            r = jax.image.resize(f.astype(jnp.float32), (480, 640, 3),
+                                 method="linear")
+            return c, r[::97, ::89, 0]
+
+        sec = time_scan(prep, jnp.zeros(()), jnp.zeros(()), frames, args.k)
+        print(json.dumps({"stage": "resize_1080p_to_480x640",
+                          "ms": round(sec * 1e3, 3),
+                          "fps": round(1 / sec, 1)}))
+
+    if "nms" in stages:
+        from botsort_tpu.ops import nms as nms_mod
+
+        nms_cfg = NMSConfig()
+        boxes = jnp.asarray(rng.uniform(0, 640, (args.k, 6300, 4)),
+                            jnp.float32)
+        scores = jnp.asarray(rng.uniform(0, 1, (args.k, 6300, 4)) ** 4,
+                             jnp.float32)
+
+        def run_nms(p, c, xs):
+            bx, sc = xs
+            dets = nms_mod.multiclass_nms_dense(
+                bx, sc, iou_threshold=nms_cfg.iou_threshold,
+                score_threshold=nms_cfg.score_threshold,
+                max_per_class=nms_cfg.max_boxes_per_class,
+                pre_nms_top_k=nms_cfg.pre_nms_top_k)
+            return c, dets.valid
+
+        sec = time_scan(run_nms, jnp.zeros(()), jnp.zeros(()),
+                        (boxes, scores), args.k)
+        print(json.dumps({"stage": "nms_6300x4",
+                          "ms": round(sec * 1e3, 3),
+                          "fps": round(1 / sec, 1)}))
+
+    if "cascade" in stages:
+        from botsort_tpu.track.cascade import tracker_update
+        from botsort_tpu.track.state import empty_store
+
+        tracker_cfg = TrackerConfig(
+            det_score_threshold=0.2, track_high_thresh=0.15,
+            track_low_thresh=0.05, new_track_thresh=0.2)
+        d = 50
+        tlbr = jnp.asarray(
+            rng.uniform(0, 600, (args.k, d, 4)).astype(np.float32))
+        tlbr = tlbr.at[..., 2:].add(tlbr[..., :2])
+        scores = jnp.asarray(rng.uniform(0.2, 1, (args.k, d)), jnp.float32)
+        valid = jnp.ones((args.k, d), bool)
+        bf = jnp.asarray(rng.normal(size=(args.k, d, 2048)), jnp.float32)
+        ff = jnp.asarray(rng.normal(size=(args.k, d, 256)), jnp.float32)
+
+        def step(p, s, xs):
+            t, sc, v, b_, f_ = xs
+            s2, tr = tracker_update(s, t, sc, v, b_, f_, tracker_cfg)
+            return s2, tr.valid
+
+        sec = time_scan(step, jnp.zeros(()), empty_store(tracker_cfg),
+                        (tlbr, scores, valid, bf, ff), args.k)
+        print(json.dumps({"stage": "cascade_50dets",
+                          "ms": round(sec * 1e3, 3),
+                          "fps": round(1 / sec, 1)}))
+
     if "full" in stages:
         from botsort_tpu.pipeline.frame_step import frame_step
         from botsort_tpu.track.state import empty_store
