@@ -23,6 +23,7 @@ def crop_and_resize(
     image: jnp.ndarray,
     boxes_tlbr: jnp.ndarray,
     out_hw: tuple[int, int],
+    compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """Extract and bilinearly resize N crops from one image.
 
@@ -30,6 +31,14 @@ def crop_and_resize(
     boxes_tlbr: [N, 4] float32 pixel corners (x1, y1, x2, y2); callers pass
       integer-valued corners to match the reference's integer slicing.
     out_hw: static (out_h, out_w).
+    compute_dtype: dtype of the two interpolation contractions
+      (accumulation is always float32 via preferred_element_type). The
+      pipeline passes bfloat16 on TPU: uint8 pixel values are exact in
+      bfloat16 and the 2-tap weights round to ~2^-9 relative, so crops
+      differ from the float32 path by <~0.7 intensity levels while the
+      matmuls run at the MXU's bf16 rate with half the HBM traffic (the
+      weight matrices against a 1080p frame are the dominant preprocess
+      cost — ~100 GFLOP per 64-crop batch).
     Returns [N, out_h, out_w, 3] float32. Degenerate boxes (w or h < 1)
     produce zeros.
     """
@@ -68,12 +77,12 @@ def crop_and_resize(
     #   Wx [N, out_w, W] (two taps per row), Wy [N, out_h, H]
     #   out[n, r, x, c] = Wy[n, r, :] @ img[:, :, c] @ Wx[n, x, :]^T
     # Horizontal first (cheaper contraction order for tall sources).
-    img = image.astype(jnp.float32)
+    img = image.astype(compute_dtype)
     col_ids = jnp.arange(img_w, dtype=jnp.int32)
     wx_mat = (
         (col_ids[None, None, :] == x0[:, :, None]) * (1.0 - wx[:, :, None])
         + (col_ids[None, None, :] == x1i[:, :, None]) * wx[:, :, None]
-    ).astype(jnp.float32)                       # [N, out_w, W]
+    ).astype(compute_dtype)                     # [N, out_w, W]
     # (When x0 == x1i at the clamped edge the two one-hot terms target the
     # same column and sum to (1-wx)+wx = 1 — no special-casing needed.)
 
@@ -81,7 +90,7 @@ def crop_and_resize(
     wy_mat = (
         (row_ids[None, None, :] == y0[:, :, None]) * (1.0 - wy[:, :, None])
         + (row_ids[None, None, :] == y1i[:, :, None]) * wy[:, :, None]
-    ).astype(jnp.float32)                       # [N, out_h, H]
+    ).astype(compute_dtype)                     # [N, out_h, H]
 
     # [N, out_w, W] x [H, W, 3] -> [N, H, out_w, 3]
     tmp = jnp.einsum("nxw,hwc->nhxc", wx_mat, img,

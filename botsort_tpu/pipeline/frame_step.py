@@ -48,6 +48,18 @@ class FrameResult(NamedTuple):
     tracks: TrackOutputs
 
 
+def _compute_dtype(pipe_cfg: PipelineConfig):
+    """Preprocess/interpolation dtype (PipelineConfig.compute_dtype).
+
+    bfloat16 (default) runs the detector-input resize and the crop-resize
+    contractions at the MXU bf16 rate with float32 accumulation — uint8
+    pixels are exact in bfloat16, interpolation weights round at ~2^-9,
+    and the networks consume bfloat16 anyway. "float32" restores
+    bit-exact interpolation for oracle tests.
+    """
+    return jnp.dtype(pipe_cfg.compute_dtype)
+
+
 def _det_width(tracker_cfg: TrackerConfig, nms_cfg: NMSConfig) -> int:
     """Tracker body-det slot count: every one of these is embedded by
     ReID and fed to association (the reference embeds ALL detections,
@@ -221,7 +233,8 @@ def frame_step(
     in_h, in_w = pipe_cfg.detector_input_hw
 
     # --- Detector preprocess (demo:929-966): bilinear resize, raw BGR.
-    frame_f = frame_bgr.astype(jnp.float32)
+    pdt = _compute_dtype(pipe_cfg)
+    frame_f = frame_bgr.astype(pdt)
     det_in = jax.image.resize(frame_f, (in_h, in_w, 3), method="linear")
     det_in = det_in[None]
 
@@ -267,7 +280,8 @@ def frame_step(
 
     def encode_body(tlbr_chunk):
         crops = crop.crop_and_resize(
-            frame_f, tlbr_chunk, pipe_cfg.body_reid_input_hw)
+            frame_bgr, tlbr_chunk, pipe_cfg.body_reid_input_hw,
+            compute_dtype=pdt)
         return bundle.body_encoder.apply(
             bundle.body_params, fastreid_mod.preprocess(crops))
 
@@ -288,7 +302,8 @@ def frame_step(
 
     def encode_face(tlbr_chunk):
         crops = crop.crop_and_resize(
-            frame_f, tlbr_chunk, pipe_cfg.face_reid_input_hw)
+            frame_bgr, tlbr_chunk, pipe_cfg.face_reid_input_hw,
+            compute_dtype=pdt)
         return bundle.face_encoder.apply(bundle.face_params, crops)
 
     face_feats = _encode_faces(
@@ -390,7 +405,8 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
     dp = -(-d // r) * r
     bodies, heads, hands, faces = 0, 1, 2, 3
 
-    frames_f = frames_bgr.astype(jnp.float32)
+    pdt = _compute_dtype(pipe_cfg)
+    frames_f = frames_bgr.astype(pdt)
     det_in = jax.vmap(
         lambda f: jax.image.resize(f, (in_h, in_w, 3), method="linear")
     )(frames_f)
@@ -437,7 +453,8 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
         rc = tlbr_chunk.shape[1]
         crops = jax.vmap(
             lambda f, bt: crop.crop_and_resize(
-                f, bt, pipe_cfg.body_reid_input_hw))(frames_f, tlbr_chunk)
+                f, bt, pipe_cfg.body_reid_input_hw, compute_dtype=pdt)
+        )(frames_bgr, tlbr_chunk)
         return bundle.body_encoder.apply(
             bundle.body_params,
             fastreid_mod.preprocess(
@@ -466,7 +483,8 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
         rc = tlbr_chunk.shape[1]
         crops = jax.vmap(
             lambda f, ft: crop.crop_and_resize(
-                f, ft, pipe_cfg.face_reid_input_hw))(frames_f, tlbr_chunk)
+                f, ft, pipe_cfg.face_reid_input_hw, compute_dtype=pdt)
+        )(frames_bgr, tlbr_chunk)
         return bundle.face_encoder.apply(
             bundle.face_params,
             crops.reshape((b * rc,) + crops.shape[2:])

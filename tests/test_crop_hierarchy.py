@@ -25,6 +25,26 @@ def test_crop_resize_matches_cv2():
         assert np.abs(out[i] - ref).max() < 1.0, i
 
 
+def test_crop_resize_bf16_close_to_f32():
+    """The production path runs the interpolation contractions in
+    bfloat16 (f32 accumulation): uint8 pixels are exact in bf16 and the
+    2-tap weights round at ~2^-9, so crops stay within ~1 intensity
+    level of the float32 path."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+    boxes = np.array([
+        [10, 20, 74, 100],
+        [0, 0, 160, 120],
+        [50, 30, 58, 46],
+    ], dtype=np.float32)
+    f32 = np.asarray(crop.crop_and_resize(
+        jnp.asarray(img), jnp.asarray(boxes), (64, 32)))
+    bf16 = np.asarray(crop.crop_and_resize(
+        jnp.asarray(img), jnp.asarray(boxes), (64, 32),
+        compute_dtype=jnp.bfloat16))
+    assert np.abs(f32 - bf16).max() < 1.0
+
+
 def test_crop_degenerate_box_is_zero():
     img = jnp.ones((50, 50, 3))
     boxes = jnp.asarray([[10.0, 10.0, 10.0, 30.0]])  # zero width

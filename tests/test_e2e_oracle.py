@@ -38,7 +38,12 @@ NMSC = NMSConfig(max_boxes_per_class=8, score_threshold=0.01)
 PIPE = PipelineConfig(detector_input_hw=(96, 128),
                       body_reid_input_hw=(64, 32),
                       face_reid_input_hw=(32, 32),
-                      max_reid_batch=4)
+                      max_reid_batch=4,
+                      # Bit-exact interpolation for the oracle diff (the
+                      # production default is bfloat16 — covered for
+                      # tolerance in test_crop_hierarchy /
+                      # test_pipeline).
+                      compute_dtype="float32")
 SRC_HW = (240, 320)
 
 
