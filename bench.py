@@ -76,8 +76,31 @@ def check_jv_on_device(trials: int = 4, seed: int = 7) -> None:
           file=sys.stderr)
 
 
+def tunnel_floor_s(reps: int = 6) -> float:
+    """Fixed dispatch+readback round-trip of ONE program through this
+    environment's device tunnel (~27 ms, independent of scan length —
+    see CLAUDE.md). Subtracted from scan totals so per-step numbers
+    reflect what the chip does, not the dev tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(xs):
+        return jax.lax.scan(lambda c, x: (c + x.sum(), x[:4]),
+                            jnp.float32(0), xs)
+
+    xs = jnp.zeros((16, 128), jnp.float32)
+    _ = jax.device_get(run(xs)[1])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = jax.device_get(run(xs)[1])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
-               empty_store, k=32, reps=5):
+               empty_store, k=32, reps=5, floor_s=0.0):
     """Device-side throughput: scan K frame-steps inside ONE program.
 
     The development TPU is reached through a tunnel whose latency varies
@@ -113,11 +136,11 @@ def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
         valid_np = jax.device_get(valid)
         best = min(best, time.perf_counter() - t0)
     n_tracks = int(np.asarray(valid_np)[-1].sum())
-    return k / best, compile_s, n_tracks
+    return k / max(best - floor_s, 1e-9), compile_s, n_tracks
 
 
 def run_batched(bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
-                empty_store, b=4, k=8, reps=4):
+                empty_store, b=4, k=8, reps=4, floor_s=0.0):
     """Aggregate FPS for b streams batched through one chip."""
     import jax
     import jax.numpy as jnp
@@ -147,7 +170,7 @@ def run_batched(bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
         stores, v = run_k(bundle, stores, frames_k)
         _ = jax.device_get(v)
         best = min(best, time.perf_counter() - t0)
-    return b * k / best
+    return b * k / max(best - floor_s, 1e-9)
 
 
 def main():
@@ -178,17 +201,18 @@ def main():
     # Loaded config: zero-init weights emit uniform 0.25 class scores, so
     # thresholds at 0.2 put a full 16-detection load with a live track
     # pool through every cascade pass.
+    floor_s = tunnel_floor_s()
     loaded_cfg = TrackerConfig(
         det_score_threshold=0.2, track_high_thresh=0.15,
         track_low_thresh=0.05, new_track_thresh=0.2)
     fps_loaded, compile_s, n_tracks = run_config(
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
-        empty_store)
+        empty_store, floor_s=floor_s)
 
     # Reference-default config (empty scene with random weights).
     fps_empty, _, _ = run_config(
         frame_step, bundle, TrackerConfig(), nms_cfg, pipe_cfg, frames,
-        empty_store)
+        empty_store, floor_s=floor_s)
 
     # Analytic conv/dot FLOPs under full crowd load (XLA's
     # cost_analysis() under-counts convolutions on this backend): the
@@ -208,7 +232,19 @@ def main():
     # (pipeline/frame_step.py::frame_step_batched). B=8 amortizes the
     # batch-1 detector best (measured 170 -> 237 -> 260 FPS at 1/4/8).
     fps_batched = run_batched(bundle, loaded_cfg, nms_cfg, pipe_cfg,
-                              frames, empty_store, b=8, k=4)
+                              frames, empty_store, b=8, k=16,
+                              floor_s=floor_s)
+
+    # int8 serving path (detector + body ReID quantized; v5e runs s8xs8
+    # convs ~1.6x the bf16 rate — models/quantize.py).
+    from botsort_tpu.models.quantize import quantize_bundle
+
+    qbundle = quantize_bundle(
+        bundle, np.stack([np.asarray(f) for f in frames]),
+        pipe_cfg=pipe_cfg)
+    fps_int8, _, _ = run_config(
+        frame_step, qbundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
+        empty_store, floor_s=floor_s)
 
     # v5e peak: 197 TFLOP/s bf16 (per chip).
     mfu = round(flops_frame * fps_loaded / 197e12, 4)
@@ -223,15 +259,18 @@ def main():
         "live_tracks": n_tracks,
         "empty_scene_fps": round(fps_empty, 2),
         "batched_8stream_aggregate_fps": round(fps_batched, 2),
+        "int8_loaded_fps": round(fps_int8, 2),
         "mfu": mfu,
         "flops_per_frame_g": round(flops_frame / 1e9, 1),
+        "tunnel_floor_ms": round(floor_s * 1e3, 1),
         "baseline_assumption": "the reference publishes no FPS table; "
                                "vs_baseline divides by its 30 FPS "
                                "real-time RTX-30xx TRT-fp16 operating "
                                "point (README latency overlays)",
         "notes": "device-side throughput (32-step in-program scan, best "
-                 "of 5): full pipeline under load — YOLOX-X det + "
-                 "bucketed SBS-S50 body ReID (64 crops live) + face "
+                 "of 5, fixed dev-tunnel dispatch round-trip "
+                 "subtracted): full pipeline under load — YOLOX-X det "
+                 "+ bucketed SBS-S50 body ReID (64 crops live) + face "
                  "ReID + fused cascade with live track pool, bf16 "
                  "weights (random), 1080p source frames",
     }))

@@ -1,0 +1,115 @@
+"""int8 post-training quantization (models/quantize.py).
+
+Covers: calibration path discovery, per-channel weight quantization,
+interceptor-executed int8 convs vs the float path (single layer and the
+full mini detector / body encoder), hashability of QuantizedModule as
+jit static aux, and the fused frame_step running a quantized bundle
+unchanged.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from botsort_tpu.config import NMSConfig, PipelineConfig, TrackerConfig
+from botsort_tpu.models import fastreid as fastreid_mod
+from botsort_tpu.models import quantize as q
+from botsort_tpu.models.common import ConvBN
+from botsort_tpu.pipeline.frame_step import frame_step
+from botsort_tpu.runtime.assets import build_bundle
+from botsort_tpu.track.state import empty_store
+
+TRK = TrackerConfig(max_tracks=16, body_feature_dim=256,
+                    face_feature_dim=256, det_score_threshold=0.05,
+                    track_high_thresh=0.22, track_low_thresh=0.05,
+                    new_track_thresh=0.24)
+NMSC = NMSConfig(max_boxes_per_class=8, score_threshold=0.01)
+PIPE = PipelineConfig(detector_input_hw=(96, 128),
+                      body_reid_input_hw=(64, 32),
+                      face_reid_input_hw=(32, 32), max_reid_batch=4)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return build_bundle(mini=True, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def qbundle(bundle):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, 240, 320, 3), dtype=np.uint8)
+    return q.quantize_bundle(bundle, frames, pipe_cfg=PIPE)
+
+
+def test_single_conv_layer_close():
+    rng = np.random.default_rng(0)
+    mod = ConvBN(16, 3, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    qm, qp = q.quantize_module(mod, params, [x])
+    y0 = np.asarray(mod.apply(params, x))
+    y1 = np.asarray(qm.apply(qp, x))
+    rel = np.abs(y0 - y1).max() / np.abs(y0).max()
+    assert rel < 0.03, rel
+
+
+def test_kernels_are_int8_and_scales_per_channel(bundle):
+    amax = q.calibrate(
+        bundle.detector, bundle.detector_params,
+        [jnp.zeros((1, 96, 128, 3)) + 10.0])
+    assert len(amax) > 5          # every ConvBN conv discovered
+    qparams, wsc = q.quantize_params(bundle.detector,
+                                     bundle.detector_params, amax)
+    leaves = jax.tree_util.tree_flatten_with_path(qparams)[0]
+    n_int8 = sum(1 for _, leaf in leaves if leaf.dtype == jnp.int8)
+    assert n_int8 == len(wsc) == len(amax)
+    for path, s in wsc.items():
+        assert s.ndim == 1 and (s > 0).all(), path
+
+
+def test_body_embeddings_cosine(bundle, qbundle):
+    rng = np.random.default_rng(1)
+    crops = fastreid_mod.preprocess(
+        jnp.asarray(rng.integers(0, 255, (4, 64, 32, 3)), jnp.float32))
+    f0 = np.asarray(bundle.body_encoder.apply(bundle.body_params, crops))
+    f1 = np.asarray(qbundle.body_encoder.apply(qbundle.body_params, crops))
+    cos = np.sum(f0 * f1, axis=-1)  # both L2-normalized in-graph
+    assert (cos > 0.97).all(), cos
+
+
+def test_detector_scores_close(bundle, qbundle):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.integers(0, 255, (1, 96, 128, 3)), jnp.float32)
+    _, s0 = bundle.detector.apply(bundle.detector_params, x)
+    _, s1 = qbundle.detector.apply(qbundle.detector_params, x)
+    # Random-init mini nets amplify quantization error (BatchNorm stats
+    # are identity placeholders, so activation magnitudes drift layer
+    # over layer instead of being renormalized as in a trained net);
+    # trained-weight parity gets re-checked at import time.
+    assert float(jnp.max(jnp.abs(s0 - s1))) < 0.15
+
+
+def test_quantized_module_is_static_aux(qbundle):
+    d = qbundle.detector
+    d2 = q.QuantizedModule(d.module,
+                           {p: s * 127.0 for p, s in d.act_scale.items()},
+                           d.w_scales)
+    assert hash(d) == hash(d2) and d == d2
+    # Different scales -> different identity (jit must recompile).
+    d3 = q.QuantizedModule(d.module,
+                           {p: s * 200.0 for p, s in d.act_scale.items()},
+                           d.w_scales)
+    assert d != d3
+
+
+def test_frame_step_runs_quantized_bundle(qbundle):
+    rng = np.random.default_rng(3)
+    frame = jnp.asarray(
+        rng.integers(0, 255, (240, 320, 3), dtype=np.uint8))
+    store = empty_store(TRK)
+    store, res = frame_step(qbundle, store, frame, TRK, NMSC, PIPE)
+    assert np.isfinite(np.asarray(res.det_scores)).all()
+    # A second frame reuses the jit cache (same static aux digest).
+    store, res = frame_step(qbundle, store, frame, TRK, NMSC, PIPE)
+    assert np.asarray(res.tracks.valid).shape == (TRK.max_tracks,)
