@@ -1,0 +1,136 @@
+"""Multi-stream tracking CLI: N videos batched through one chip.
+
+The reference is strictly one-process/one-GPU/one-stream
+(SURVEY.md §2); this surface is the TPU serving topology: B videos ride
+one chip as a single batched program (pipeline/frame_step.py::
+frame_step_batched — perception natively batched, per-stream cascades
+vmapped, tracker outputs bitwise-identical to B single-stream runs).
+For multi-CHIP scale-out see examples/multi_stream.py (mesh sharding,
+one or more streams per device).
+
+Run:
+  python -m botsort_tpu.cli.multitrack -v a.mp4 b.mp4 [...] \
+      [--output_dir out/] [--max_frames N]
+
+Writes one annotated {stem}_tracked.mp4 per input (unless -dvw) and
+prints aggregate throughput. All videos must share one resolution
+(one compiled program per (B, H, W)); streams that end early are fed
+their last frame (their tracker state keeps coasting, outputs ignored).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from argparse import ArgumentParser
+
+import cv2
+import numpy as np
+
+from botsort_tpu.config import NMSConfig, PipelineConfig, TrackerConfig
+from botsort_tpu.io.draw import draw_tracks
+from botsort_tpu.io.video import make_writer
+from botsort_tpu.runtime import assets
+from botsort_tpu.runtime.device import platform_summary, setup_compilation_cache
+from botsort_tpu.utils.colors import cyan, green
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser(description=__doc__)
+    parser.add_argument("-v", "--videos", nargs="+", required=True,
+                        help="Video files (one stream each; same WxH).")
+    parser.add_argument(
+        "-ep", "--execution_provider", type=str,
+        choices=["tpu", "cpu"], default="tpu")
+    parser.add_argument("-dvw", "--disable_video_writer",
+                        action="store_true")
+    parser.add_argument("--output_dir", type=str, default=".")
+    parser.add_argument("--weights_dir", type=str, default="weights")
+    parser.add_argument("--max_frames", type=int, default=0)
+    parser.add_argument("--mini", action="store_true",
+                        help="Miniature architectures (smoke tests).")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    for p in args.videos:
+        if not os.path.isfile(p):
+            print(f"ERROR: video file not found: {p}")
+            return 1
+    if args.execution_provider == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    setup_compilation_cache()
+    from botsort_tpu.pipeline.host import BatchedBoTSORTPipeline
+
+    print(cyan(f"backend: {platform_summary()}"))
+    bundle = assets.build_bundle(weights_dir=args.weights_dir,
+                                 mini=args.mini)
+    pipe_cfg = PipelineConfig() if not args.mini else PipelineConfig(
+        detector_input_hw=(96, 128), body_reid_input_hw=(64, 32),
+        face_reid_input_hw=(32, 32), max_reid_batch=4)
+    tracker_cfg = TrackerConfig(
+        body_feature_dim=2048 if not args.mini else 256,
+        face_feature_dim=256)
+
+    b = len(args.videos)
+    pipeline = BatchedBoTSORTPipeline(bundle, b, tracker_cfg, NMSConfig(),
+                                      pipe_cfg)
+
+    caps = [cv2.VideoCapture(p) for p in args.videos]
+    writers = [None] * b
+    last = [None] * b
+    live = [True] * b
+    n = 0
+    t_start = None
+    try:
+        while any(live):
+            frames = []
+            for s, cap in enumerate(caps):
+                ok, f = (cap.read() if live[s] else (False, None))
+                if not ok:
+                    live[s] = False
+                    f = last[s]
+                    if f is None:
+                        break
+                last[s] = f
+                frames.append(f)
+            if len(frames) < b or not any(live):
+                break
+            tracks_per_stream = pipeline.update(np.stack(frames))
+            if t_start is None:
+                t_start = time.perf_counter()  # exclude first compile
+            for s in range(b):
+                if not live[s]:
+                    continue
+                if writers[s] is None and not args.disable_video_writer:
+                    stem = os.path.splitext(
+                        os.path.basename(args.videos[s]))[0]
+                    h, w = frames[s].shape[:2]
+                    writers[s] = make_writer(
+                        os.path.join(args.output_dir,
+                                     f"{stem}_tracked.mp4"),
+                        caps[s].get(cv2.CAP_PROP_FPS) or 30.0, (w, h))
+                draw_tracks(frames[s], tracks_per_stream[s])
+                if writers[s] is not None:
+                    writers[s].write(frames[s])
+            n += 1
+            if args.max_frames and n >= args.max_frames:
+                break
+    finally:
+        for wtr in writers:
+            if wtr is not None:
+                wtr.release()
+        for cap in caps:
+            cap.release()
+    dt = (time.perf_counter() - t_start) if t_start else 0.0
+    agg = b * max(n - 1, 0) / dt if dt > 0 else float("nan")
+    print(green(f"processed {n} frames x {b} streams "
+                f"({agg:.1f} FPS aggregate, steady-state)"))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

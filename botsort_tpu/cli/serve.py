@@ -89,6 +89,13 @@ def build_pipeline_factory(args):
     pipe_cfg = PipelineConfig() if not args.mini else PipelineConfig(
         detector_input_hw=(96, 128), body_reid_input_hw=(64, 32),
         face_reid_input_hw=(32, 32), max_reid_batch=4)
+    if getattr(args, "int8", False):
+        from botsort_tpu.models.quantize import quantize_bundle
+
+        # No stream yet at startup: calibrate on synthetic frames (the
+        # conservative amax envelope); recalibrate offline with
+        # quantize_bundle(frames=...) for production deployments.
+        bundle = quantize_bundle(bundle, pipe_cfg=pipe_cfg)
     tracker_cfg = TrackerConfig(
         body_feature_dim=2048 if not args.mini else 256,
         face_feature_dim=256)
@@ -105,6 +112,10 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8700)
     parser.add_argument("--weights_dir", default="weights")
     parser.add_argument("--mini", action="store_true")
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="Serve detector + body ReID with int8 convolutions "
+             "(models/quantize.py; ~1.6x conv throughput on v5e).")
     parser.add_argument(
         "--max_connections", type=int, default=0,
         help="Exit after serving N connections (0 = forever; testing).")

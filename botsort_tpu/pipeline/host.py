@@ -96,73 +96,143 @@ class BoTSORTPipeline:
             return self._assemble(result_host)
 
     def _assemble(self, res) -> List[STrackView]:
-        tc = self.pipe_cfg.track_target_classes
-        det_boxes = res.det_boxes
-        det_scores = res.det_scores
-        det_valid = res.det_valid
-        n_bodies = int(np.asarray(det_valid[0]).sum())
-        d = min(self.tracker_cfg.max_dets, self.nms_cfg.max_boxes_per_class)
-        if n_bodies > d and not getattr(self, "_warned_capacity", False):
-            self._warned_capacity = True
-            import sys
+        return assemble_tracks(res, self.tracker_cfg, self.nms_cfg,
+                               self.pipe_cfg, warn_state=self)
 
-            print(
-                f"WARNING: {n_bodies} bodies detected but "
-                f"TrackerConfig.max_dets={self.tracker_cfg.max_dets}; only "
-                f"the {d} highest-scoring reach the tracker (raise "
-                "max_dets).", file=sys.stderr)
-        dropped = int(np.asarray(res.tracks.dropped_new))
-        if dropped > 0 and not getattr(self, "_warned_slots", False):
-            self._warned_slots = True
-            import sys
 
-            print(
-                f"WARNING: {dropped} new track(s) dropped this frame — all "
-                f"TrackerConfig.max_tracks={self.tracker_cfg.max_tracks} "
-                "slots occupied (raise max_tracks; the reference has no "
-                "slot limit).", file=sys.stderr)
-        if bool(np.asarray(res.nms_clipped).any()) and \
-                not getattr(self, "_warned_nms_clip", False):
-            self._warned_nms_clip = True
-            import sys
+def assemble_tracks(res, tracker_cfg: TrackerConfig, nms_cfg: NMSConfig,
+                    pipe_cfg: PipelineConfig,
+                    warn_state=None) -> List[STrackView]:
+    """Host-side track-list + hierarchy assembly from one FrameResult.
 
-            print(
-                "WARNING: NMS pre_nms_top_k saturated for at least one "
-                "class this frame — suppression was approximate (raise "
-                "NMSConfig.pre_nms_top_k).", file=sys.stderr)
-        bodies_cls, heads_cls, hands_cls, faces_cls = 0, 1, 2, 3
+    warn_state: any object on which once-only warning flags may be set
+    (each pipeline/stream passes itself so capacity warnings fire once
+    per stream, matching the reference's per-process behavior).
+    """
+    tc = pipe_cfg.track_target_classes
+    det_boxes = res.det_boxes
+    det_scores = res.det_scores
+    det_valid = res.det_valid
+    n_bodies = int(np.asarray(det_valid[0]).sum())
+    d = min(tracker_cfg.max_dets, nms_cfg.max_boxes_per_class)
+    if warn_state is None:
+        warn_state = assemble_tracks  # global once-only fallback
+    if n_bodies > d and not getattr(warn_state, "_warned_capacity", False):
+        warn_state._warned_capacity = True
+        import sys
 
-        def opt_box(cls_ctor, classid, slot, trackid):
-            if classid not in tc or slot < 0 or not det_valid[classid][slot]:
-                return None
-            return make_box(cls_ctor, classid, det_scores[classid][slot],
-                            det_boxes[classid][slot], trackid=trackid)
+        print(
+            f"WARNING: {n_bodies} bodies detected but "
+            f"TrackerConfig.max_dets={tracker_cfg.max_dets}; only "
+            f"the {d} highest-scoring reach the tracker (raise "
+            "max_dets).", file=sys.stderr)
+    dropped = int(np.asarray(res.tracks.dropped_new))
+    if dropped > 0 and not getattr(warn_state, "_warned_slots", False):
+        warn_state._warned_slots = True
+        import sys
 
-        tracks: List[STrackView] = []
-        t = res.tracks
-        for k in range(len(t.valid)):
-            if not t.valid[k]:
-                continue
-            tid = int(t.track_id[k])
-            di = int(t.det_index[k])
-            body = None
-            if di >= 0 and bodies_cls in tc:
-                body = make_box(Body, bodies_cls, det_scores[bodies_cls][di],
-                                det_boxes[bodies_cls][di], trackid=tid)
-                hs = int(res.head_for_body[di])
-                head = opt_box(Head, heads_cls, hs, tid)
-                if head is not None:
-                    fs = int(res.face_for_head[hs])
-                    head.face = opt_box(Face, faces_cls, fs, tid)
-                body.head = head
-                body.hand1 = opt_box(Hand, hands_cls,
-                                     int(res.hand1_for_body[di]), tid)
-                body.hand2 = opt_box(Hand, hands_cls,
-                                     int(res.hand2_for_body[di]), tid)
-            tracks.append(STrackView(
-                track_id=tid,
-                score=float(t.score[k]),
-                tlbr=np.asarray(t.tlbr[k], dtype=np.float32),
-                body=body,
-            ))
-        return tracks
+        print(
+            f"WARNING: {dropped} new track(s) dropped this frame — all "
+            f"TrackerConfig.max_tracks={tracker_cfg.max_tracks} "
+            "slots occupied (raise max_tracks; the reference has no "
+            "slot limit).", file=sys.stderr)
+    if bool(np.asarray(res.nms_clipped).any()) and \
+            not getattr(warn_state, "_warned_nms_clip", False):
+        warn_state._warned_nms_clip = True
+        import sys
+
+        print(
+            "WARNING: NMS pre_nms_top_k saturated for at least one "
+            "class this frame — suppression was approximate (raise "
+            "NMSConfig.pre_nms_top_k).", file=sys.stderr)
+    bodies_cls, heads_cls, hands_cls, faces_cls = 0, 1, 2, 3
+
+    def opt_box(cls_ctor, classid, slot, trackid):
+        if classid not in tc or slot < 0 or not det_valid[classid][slot]:
+            return None
+        return make_box(cls_ctor, classid, det_scores[classid][slot],
+                        det_boxes[classid][slot], trackid=trackid)
+
+    tracks: List[STrackView] = []
+    t = res.tracks
+    for k in range(len(t.valid)):
+        if not t.valid[k]:
+            continue
+        tid = int(t.track_id[k])
+        di = int(t.det_index[k])
+        body = None
+        if di >= 0 and bodies_cls in tc:
+            body = make_box(Body, bodies_cls, det_scores[bodies_cls][di],
+                            det_boxes[bodies_cls][di], trackid=tid)
+            hs = int(res.head_for_body[di])
+            head = opt_box(Head, heads_cls, hs, tid)
+            if head is not None:
+                fs = int(res.face_for_head[hs])
+                head.face = opt_box(Face, faces_cls, fs, tid)
+            body.head = head
+            body.hand1 = opt_box(Hand, hands_cls,
+                                 int(res.hand1_for_body[di]), tid)
+            body.hand2 = opt_box(Hand, hands_cls,
+                                 int(res.hand2_for_body[di]), tid)
+        tracks.append(STrackView(
+            track_id=tid,
+            score=float(t.score[k]),
+            tlbr=np.asarray(t.tlbr[k], dtype=np.float32),
+            body=body,
+        ))
+    return tracks
+
+
+class BatchedBoTSORTPipeline:
+    """B independent streams batched through ONE chip.
+
+    The per-chip serving topology (BASELINE.json config 5 pairs it with
+    mesh sharding for multi-chip): perception runs natively batched over
+    the stream axis, cascades vmapped — one compiled program, outputs
+    bitwise-identical to B single-stream pipelines
+    (tests/test_batched_step.py). All frames of one update() must share
+    one resolution (one compiled program per (B, H, W)).
+    """
+
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        n_streams: int,
+        tracker_cfg: TrackerConfig = DEFAULT_TRACKER,
+        nms_cfg: NMSConfig = DEFAULT_NMS,
+        pipe_cfg: PipelineConfig = DEFAULT_PIPELINE,
+    ):
+        from botsort_tpu.pipeline.frame_step import frame_step_batched
+
+        self._step = frame_step_batched
+        self.bundle = bundle
+        self.n_streams = n_streams
+        self.tracker_cfg = tracker_cfg
+        self.nms_cfg = nms_cfg
+        self.pipe_cfg = pipe_cfg
+        one = empty_store(tracker_cfg)
+        self.stores = jax.tree.map(
+            lambda x: jnp.stack([x] * n_streams), one)
+        self.frame_id = 0
+        # Per-stream once-only warning state.
+        self._warn = [type("W", (), {})() for _ in range(n_streams)]
+
+    def update(self, frames_bgr) -> List[List[STrackView]]:
+        """frames_bgr: [B, H, W, 3] uint8 (list or array; one frame per
+        stream). Returns per-stream track lists."""
+        self.frame_id += 1
+        frames = jnp.asarray(np.stack(frames_bgr))
+        if frames.shape[0] != self.n_streams:
+            raise ValueError(
+                f"expected {self.n_streams} frames, got {frames.shape[0]}")
+        self.stores, result = self._step(
+            self.bundle, self.stores, frames,
+            self.tracker_cfg, self.nms_cfg, self.pipe_cfg)
+        res_host = jax.device_get(result)
+        out = []
+        for s in range(self.n_streams):
+            res_s = jax.tree.map(lambda x: x[s], res_host)
+            out.append(assemble_tracks(res_s, self.tracker_cfg,
+                                       self.nms_cfg, self.pipe_cfg,
+                                       warn_state=self._warn[s]))
+        return out
