@@ -101,7 +101,7 @@ def tunnel_floor_s(reps: int = 6) -> float:
 
 
 def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
-               empty_store, k=32, reps=5, floor_s=0.0):
+               empty_store, k=32, reps=5, floor_s=0.0, reid_bucket=None):
     """Device-side throughput: scan K frame-steps inside ONE program.
 
     The development TPU is reached through a tunnel whose latency varies
@@ -120,7 +120,7 @@ def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
     def run_k(bundle, store, frames_k):
         def body(s, f):
             s2, out = frame_step(bundle, s, f, tracker_cfg, nms_cfg,
-                                 pipe_cfg)
+                                 pipe_cfg, None, reid_bucket)
             return s2, out.tracks.valid
         return jax.lax.scan(body, store, frames_k)
 
@@ -141,7 +141,8 @@ def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
 
 
 def run_batched(bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
-                empty_store, b=4, k=8, reps=4, floor_s=0.0):
+                empty_store, b=4, k=8, reps=4, floor_s=0.0,
+                reid_bucket=None):
     """Aggregate FPS for b streams batched through one chip."""
     import jax
     import jax.numpy as jnp
@@ -156,7 +157,8 @@ def run_batched(bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
     def run_k(bundle, stores, fk):
         def body(s, f):
             s2, out = frame_step_batched(bundle, s, f, tracker_cfg,
-                                         nms_cfg, pipe_cfg)
+                                         nms_cfg, pipe_cfg, None,
+                                         reid_bucket)
             return s2, out.tracks.valid
         return jax.lax.scan(body, stores, fk)
 
@@ -206,18 +208,28 @@ def main():
     loaded_cfg = TrackerConfig(
         det_score_threshold=0.2, track_high_thresh=0.15,
         track_low_thresh=0.05, new_track_thresh=0.2)
+    # Static ReID buckets matched to each operating point's known load
+    # (the host facade picks these live from the previous frame's count;
+    # an in-program dynamic switch costs nearly the skipped branch's
+    # execution time on this platform — docs/PERF.md).
     fps_loaded, compile_s, n_tracks = run_config(
+        frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
+        empty_store, floor_s=floor_s, reid_bucket=64)
+
+    # In-program dynamic bucketing (the scan fallback when the load is
+    # unknown) on the same loaded scene, for transparency.
+    fps_dyn, _, _ = run_config(
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
         empty_store, floor_s=floor_s)
 
     # Pipeline floor with no detections: a 0.99 det threshold guarantees
     # an empty scene (random weights can clear the reference's 0.35
-    # default, so TrackerConfig() alone no longer isolates this), so the
-    # zero-live ReID buckets skip and this measures detector+NMS+cascade
-    # overhead alone.
+    # default, so TrackerConfig() alone no longer isolates this); bucket
+    # 0 skips both encoders as the host facade would.
     fps_empty, _, _ = run_config(
         frame_step, bundle, TrackerConfig(det_score_threshold=0.99),
-        nms_cfg, pipe_cfg, frames, empty_store, floor_s=floor_s)
+        nms_cfg, pipe_cfg, frames, empty_store, floor_s=floor_s,
+        reid_bucket=0)
 
     # Analytic conv/dot FLOPs under full crowd load (XLA's
     # cost_analysis() under-counts convolutions on this backend): the
@@ -240,7 +252,7 @@ def main():
     moderate_cfg = dataclasses.replace(loaded_cfg, max_dets=16)
     fps_mod, _, _ = run_config(
         frame_step, bundle, moderate_cfg, nms_cfg, pipe_cfg, frames,
-        empty_store, floor_s=floor_s)
+        empty_store, floor_s=floor_s, reid_bucket=16)
 
     # Multi-stream throughput: B streams batched through one chip
     # (pipeline/frame_step.py::frame_step_batched) at the moderate
@@ -249,7 +261,7 @@ def main():
     # information.)
     fps_batched = run_batched(bundle, moderate_cfg, nms_cfg, pipe_cfg,
                               frames, empty_store, b=8, k=16,
-                              floor_s=floor_s)
+                              floor_s=floor_s, reid_bucket=16)
 
     # int8 PTQ (models/quantize.py) measured and NOT enabled here: raw
     # s8xs8 conv rate is ~1.6x bf16 on v5e, but through XLA's real-net
@@ -272,6 +284,7 @@ def main():
         "live_tracks": n_tracks,
         "empty_scene_fps": round(fps_empty, 2),
         "moderate16_fps": round(fps_mod, 2),
+        "dynamic_bucket_loaded_fps": round(fps_dyn, 2),
         "batched_8stream_aggregate_fps": round(fps_batched, 2),
         "mfu": mfu,
         "flops_per_frame_g": round(flops_frame / 1e9, 1),

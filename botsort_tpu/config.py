@@ -114,6 +114,15 @@ class PipelineConfig:
     # Camera-motion compensation (the reference's multi_gmc is dead code,
     # demo:1534-1536; we provide a working estimator — io/gmc.py).
     enable_gmc: bool = False
+    # Host-side static ReID bucket dispatch (pipeline/host.py): the live
+    # loop picks a branch-free compiled bucket from the last frame's
+    # detection count instead of the in-program lax.switch — measured on
+    # v5e, a conditional whose UNTAKEN branch holds a CNN costs nearly
+    # the branch's execution time (docs/PERF.md), so sparse scenes were
+    # paying the 64-crop ReID price with zero people in frame. Exact:
+    # frames whose count overflows the chosen bucket re-run with the
+    # next one (encoder outputs are batch-size invariant per sample).
+    host_bucket_dispatch: bool = True
 
 
 DEFAULT_NMS = NMSConfig()

@@ -79,7 +79,8 @@ def _pad_slots(arr: jnp.ndarray, dp: int, axis: int = 0,
 
 
 def _encode_chunked(encode, tlbr: jnp.ndarray, n_live: jnp.ndarray,
-                    chunk: int, out_dim: int) -> jnp.ndarray:
+                    chunk: int, out_dim: int,
+                    static_bucket: int | None = None) -> jnp.ndarray:
     """Embed crops for tlbr [Dp, 4] in `chunk`-sized pieces.
 
     Pieces whose slots lie entirely beyond n_live are skipped at runtime
@@ -100,12 +101,34 @@ def _encode_chunked(encode, tlbr: jnp.ndarray, n_live: jnp.ndarray,
     sparse scenes keep paying only the small batch. Exactly one branch
     executes per frame (lax.switch); slots beyond the selected bucket
     are zeros.
+
+    static_bucket (compile-time, None = dynamic): measured on the v5e
+    in this environment, a lax.cond/switch whose UNTAKEN branch holds a
+    CNN costs nearly the branch's full execution time per step — the
+    conditional's cost scales with the skipped branch's activation
+    volume (tools/perf_probe stage bisection; a 64-crop ResNeSt branch
+    adds ~6.5 ms while skipped). So the runtime bucket switch is only
+    worth it when the big bucket actually runs. A caller that KNOWS the
+    load — the host facade tracks last frame's live count and re-runs
+    on overflow (pipeline/host.py), offline eval knows its scene —
+    passes static_bucket to compile a branch-free program: 0 skips the
+    encoder entirely, b <= dp encodes exactly b slots. The contract for
+    exact parity with the dynamic path is static_bucket >= n_live
+    (features of slots beyond n_live are never read: every det-feature
+    consumer masks by det validity).
     """
     dp = tlbr.shape[0]
 
     def empty():
         return jnp.zeros((dp, out_dim), jnp.float32)
 
+    if static_bucket is not None:
+        b = min(static_bucket, dp)
+        if b <= 0:
+            return empty()
+        if b >= dp:
+            return encode(tlbr)
+        return jnp.pad(encode(tlbr[:b]), ((0, dp - b), (0, 0)))
     if dp <= chunk:
         return jax.lax.cond(n_live > 0, lambda: encode(tlbr), empty)
     return jax.lax.switch(
@@ -117,7 +140,8 @@ def _encode_chunked(encode, tlbr: jnp.ndarray, n_live: jnp.ndarray,
 
 def _encode_faces(encode, face_tlbr: jnp.ndarray, has_face: jnp.ndarray,
                   n_body_live: jnp.ndarray, chunk: int,
-                  out_dim: int) -> jnp.ndarray:
+                  out_dim: int, static_bucket: int | None = None
+                  ) -> jnp.ndarray:
     """Face embeddings with real-face compaction.
 
     The reference encodes a ZERO image for every faceless body and EMAs
@@ -128,6 +152,13 @@ def _encode_faces(encode, face_tlbr: jnp.ndarray, has_face: jnp.ndarray,
     zero-crop pad slot of the selected bucket and broadcast to every
     faceless body slot. Exact reference semantics at a fraction of the
     encoder FLOPs (20 bodies with 5 faces: one 16-crop batch, not 64).
+
+    static_bucket: see _encode_chunked. A bucket >= n_body_live is
+    sufficient here too: n_face <= n_body_live, and when n_face <
+    bucket the first pad slot (the encoder(0) source) falls inside it;
+    when n_face == n_body_live there are no faceless LIVE bodies, so
+    the broadcast constant only lands on invalid det slots, which the
+    cascade never reads.
     """
     dp = face_tlbr.shape[0]
     order = jnp.argsort(jnp.logical_not(has_face), stable=True)
@@ -137,15 +168,19 @@ def _encode_faces(encode, face_tlbr: jnp.ndarray, has_face: jnp.ndarray,
     # +1 keeps one zero-crop pad slot inside the selected bucket (the
     # encoder(0) source); gating on live bodies skips empty scenes.
     n_eff = jnp.where(n_body_live > 0, n_face + 1, 0)
-    feats = _encode_chunked(encode, sorted_tlbr, n_eff, chunk, out_dim)
-    zero_feat = feats[jnp.minimum(n_face, dp - 1)]
+    feats = _encode_chunked(encode, sorted_tlbr, n_eff, chunk, out_dim,
+                            static_bucket=static_bucket)
+    zcap = dp - 1 if static_bucket is None else \
+        max(min(static_bucket, dp) - 1, 0)
+    zero_feat = feats[jnp.minimum(n_face, zcap)]
     live = (jnp.arange(dp) < n_face)[:, None]
     return jnp.where(live, feats, zero_feat[None, :])[inv]
 
 
 def _encode_faces_axis1(encode, face_tlbr: jnp.ndarray,
                         has_face: jnp.ndarray, n_body_live: jnp.ndarray,
-                        chunk: int, out_dim: int) -> jnp.ndarray:
+                        chunk: int, out_dim: int,
+                        static_bucket: int | None = None) -> jnp.ndarray:
     """_encode_faces over [B, Dp, 4] (per-stream compaction; one shared
     bucket sized by the max face count across streams)."""
     dp = face_tlbr.shape[1]
@@ -155,9 +190,11 @@ def _encode_faces_axis1(encode, face_tlbr: jnp.ndarray,
     n_face = jnp.sum(has_face, axis=1)                        # [B]
     n_eff = jnp.where(n_body_live > 0, jnp.max(n_face) + 1, 0)
     feats = _encode_chunked_axis1(encode, sorted_tlbr, n_eff, chunk,
-                                  out_dim)
+                                  out_dim, static_bucket=static_bucket)
+    zcap = dp - 1 if static_bucket is None else \
+        max(min(static_bucket, dp) - 1, 0)
     zero_feat = jnp.take_along_axis(
-        feats, jnp.minimum(n_face, dp - 1)[:, None, None], axis=1)
+        feats, jnp.minimum(n_face, zcap)[:, None, None], axis=1)
     live = (jnp.arange(dp)[None, :] < n_face[:, None])[..., None]
     feats = jnp.where(live, feats, zero_feat)
     return jnp.take_along_axis(feats, inv[..., None], axis=1)
@@ -214,7 +251,8 @@ def _rescale_to_source(boxes: jnp.ndarray, in_hw, src_hw) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tracker_cfg", "nms_cfg", "pipe_cfg"),
+    static_argnames=("tracker_cfg", "nms_cfg", "pipe_cfg", "reid_bucket",
+                      "face_bucket"),
     donate_argnames=("store",),
 )
 def frame_step(
@@ -225,10 +263,18 @@ def frame_step(
     nms_cfg: NMSConfig,
     pipe_cfg: PipelineConfig,
     gmc_affine: jnp.ndarray | None = None,
+    reid_bucket: int | None = None,
+    face_bucket: int | None = None,
 ) -> Tuple[TrackStore, FrameResult]:
     """frame_bgr: [H, W, 3] uint8 (OpenCV layout). Returns updated store
     plus the per-frame readback. gmc_affine: optional host-estimated
-    [2, 3] camera-motion matrix (io/gmc.py)."""
+    [2, 3] camera-motion matrix (io/gmc.py). reid_bucket: static crop
+    budget for the body encoder (None = in-program dynamic bucketing;
+    see _encode_chunked — exact iff reid_bucket >= live body count,
+    which the host facade guarantees by re-running on overflow).
+    face_bucket: ditto for the face encoder (defaults to reid_bucket;
+    exact iff >= attached-face count + 1 when a faceless live body
+    exists — the +1 holds the encoder(zero-crop) constant slot)."""
     src_h, src_w = frame_bgr.shape[0], frame_bgr.shape[1]
     in_h, in_w = pipe_cfg.detector_input_hw
 
@@ -287,7 +333,7 @@ def frame_step(
 
     body_feats = _encode_chunked(
         encode_body, body_tlbr_p, n_live, r,
-        tracker_cfg.body_feature_dim)[:d]
+        tracker_cfg.body_feature_dim, static_bucket=reid_bucket)[:d]
 
     # Face crop per body: its head's face box; bodies without a face get
     # an all-zero crop (degenerate box), matching the reference's zero
@@ -308,7 +354,9 @@ def frame_step(
 
     face_feats = _encode_faces(
         encode_face, face_tlbr, has_face, n_live, r,
-        tracker_cfg.face_feature_dim)[:d]
+        tracker_cfg.face_feature_dim,
+        static_bucket=reid_bucket if face_bucket is None
+        else face_bucket)[:d]
 
     # --- Association cascade.
     store, tracks = tracker_update(
@@ -331,7 +379,8 @@ def frame_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tracker_cfg", "nms_cfg", "pipe_cfg"),
+    static_argnames=("tracker_cfg", "nms_cfg", "pipe_cfg", "reid_bucket",
+                      "face_bucket"),
     donate_argnames=("stores",),
 )
 def frame_step_batched(
@@ -342,6 +391,8 @@ def frame_step_batched(
     nms_cfg: NMSConfig,
     pipe_cfg: PipelineConfig,
     gmc_affines: jnp.ndarray | None = None,
+    reid_bucket: int | None = None,
+    face_bucket: int | None = None,
 ) -> Tuple[TrackStore, FrameResult]:
     """B independent streams batched through one chip.
 
@@ -359,7 +410,8 @@ def frame_step_batched(
     [B, 2, 3] per-stream camera-motion matrices.
     """
     percep = _perception_batched(bundle, frames_bgr, tracker_cfg,
-                                 nms_cfg, pipe_cfg)
+                                 nms_cfg, pipe_cfg, reid_bucket,
+                                 face_bucket)
     (det_boxes, det_scores, det_valid, hier, nms_clipped, body_tlbr,
      body_scores, body_valid, body_feats, face_feats) = percep
 
@@ -395,7 +447,7 @@ def frame_step_batched(
 
 
 def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
-                        pipe_cfg):
+                        pipe_cfg, reid_bucket=None, face_bucket=None):
     """Everything before the cascade, batched over leading dim B."""
     b = frames_bgr.shape[0]
     src_h, src_w = frames_bgr.shape[1], frames_bgr.shape[2]
@@ -463,7 +515,7 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
 
     body_feats = _encode_chunked_axis1(
         encode_body, body_tlbr_p, n_live, r,
-        tracker_cfg.body_feature_dim)[:, :d]
+        tracker_cfg.body_feature_dim, static_bucket=reid_bucket)[:, :d]
 
     face_tlbr_list = []
     has_face_list = []
@@ -492,7 +544,9 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
 
     face_feats = _encode_faces_axis1(
         encode_face, face_tlbr, has_face_b, n_live, r,
-        tracker_cfg.face_feature_dim)[:, :d]
+        tracker_cfg.face_feature_dim,
+        static_bucket=reid_bucket if face_bucket is None
+        else face_bucket)[:, :d]
 
     hier = (
         jnp.stack([results[3 * s + 1][0] for s in range(b)]),
@@ -505,13 +559,22 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
 
 
 def _encode_chunked_axis1(encode, tlbr: jnp.ndarray, n_live: jnp.ndarray,
-                          chunk: int, out_dim: int) -> jnp.ndarray:
+                          chunk: int, out_dim: int,
+                          static_bucket: int | None = None) -> jnp.ndarray:
     """_encode_chunked over [B, Dp, 4] boxes (buckets on axis 1)."""
     b, dp = tlbr.shape[0], tlbr.shape[1]
 
     def empty():
         return jnp.zeros((b, dp, out_dim), jnp.float32)
 
+    if static_bucket is not None:
+        sb = min(static_bucket, dp)
+        if sb <= 0:
+            return empty()
+        if sb >= dp:
+            return encode(tlbr)
+        return jnp.pad(encode(tlbr[:, :sb]),
+                       ((0, 0), (0, dp - sb), (0, 0)))
     if dp <= chunk:
         return jax.lax.cond(n_live > 0, lambda: encode(tlbr), empty)
     return jax.lax.switch(
@@ -524,7 +587,8 @@ def _encode_chunked_axis1(encode, tlbr: jnp.ndarray, n_live: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tracker_cfg", "nms_cfg", "pipe_cfg"),
+    static_argnames=("tracker_cfg", "nms_cfg", "pipe_cfg", "reid_bucket",
+                      "face_bucket"),
     donate_argnames=("store",),
 )
 def frame_step_temporal(
@@ -534,6 +598,8 @@ def frame_step_temporal(
     tracker_cfg: TrackerConfig,
     nms_cfg: NMSConfig,
     pipe_cfg: PipelineConfig,
+    reid_bucket: int | None = None,
+    face_bucket: int | None = None,
 ) -> Tuple[TrackStore, FrameResult]:
     """T consecutive frames of ONE stream in one dispatch.
 
@@ -546,7 +612,8 @@ def frame_step_temporal(
     camera loops.
     """
     percep = _perception_batched(bundle, frames_bgr, tracker_cfg,
-                                 nms_cfg, pipe_cfg)
+                                 nms_cfg, pipe_cfg, reid_bucket,
+                                 face_bucket)
     (det_boxes, det_scores, det_valid, hier, nms_clipped, body_tlbr,
      body_scores, body_valid, body_feats, face_feats) = percep
 

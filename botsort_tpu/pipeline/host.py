@@ -28,6 +28,23 @@ from botsort_tpu.pipeline.frame_step import ModelBundle, frame_step
 from botsort_tpu.track.state import empty_store
 
 
+@jax.jit
+def _copy_store(store):
+    """Device-side store snapshot in ONE dispatch (frame_step donates
+    its store input, so overflow re-runs need a pre-step copy)."""
+    return jax.tree.map(jnp.copy, store)
+
+
+def _live_and_face_counts(res_host, d: int):
+    """(live bodies, bodies with an attached face) among the first d
+    body det slots of one FrameResult."""
+    valid = np.asarray(res_host.det_valid[0][:d])
+    hb = np.asarray(res_host.head_for_body[:d])
+    ffh = np.asarray(res_host.face_for_head)
+    has_face = (hb >= 0) & (ffh[np.clip(hb, 0, None)] >= 0) & valid
+    return int(valid.sum()), int(has_face.sum())
+
+
 @dataclasses.dataclass
 class STrackView:
     """Host view of one live track (the reference returns STrack objects;
@@ -69,10 +86,40 @@ class BoTSORTPipeline:
             from botsort_tpu.io.gmc import GMCEstimator
 
             self.gmc = GMCEstimator()
+        # Host-side static ReID bucket dispatch. Measured on v5e: an
+        # in-program lax.switch whose untaken branch holds a CNN costs
+        # ~the branch's execution time anyway (see _encode_chunked), so
+        # the host picks a branch-free compiled bucket from the LAST
+        # frame's live count and re-runs the rare frame whose count
+        # overflows it (exactness preserved; per-sample encoder outputs
+        # are batch-size invariant). One compiled program per bucket,
+        # all cached.
+        d = min(tracker_cfg.max_dets, nms_cfg.max_boxes_per_class)
+        r = pipe_cfg.max_reid_batch
+        dp = -(-d // r) * r
+        self._buckets = sorted({0, min(r, dp), dp})
+        self._last_n_live = None
+        self._last_n_face = 0
+        self._det_width = d
+
+    def _pick_bucket(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        return self._buckets[-1]
+
+    def _face_need(self, n_face: int, n_live: int) -> int:
+        """Face-bucket requirement: the attached-face count plus one
+        zero-crop slot (the encoder(0) constant source) whenever a
+        faceless live body exists."""
+        if n_live == 0:
+            return 0
+        return n_face + (1 if n_face < n_live else 0)
 
     def reset(self):
         self.store = empty_store(self.tracker_cfg)
         self.frame_id = 0
+        self._last_n_live = None
         self.timers.reset()
         if self.gmc is not None:
             self.gmc.reset()
@@ -87,11 +134,47 @@ class BoTSORTPipeline:
         with self.timers.stage("upload"):
             frame_dev = jnp.asarray(frame_bgr)
         with self.timers.stage("device_step"):
-            self.store, result = frame_step(
-                self.bundle, self.store, frame_dev,
-                self.tracker_cfg, self.nms_cfg, self.pipe_cfg,
-                gmc_affine)
-            result_host = jax.device_get(result)
+            if not self.pipe_cfg.host_bucket_dispatch:
+                self.store, result = frame_step(
+                    self.bundle, self.store, frame_dev,
+                    self.tracker_cfg, self.nms_cfg, self.pipe_cfg,
+                    gmc_affine)
+                result_host = jax.device_get(result)
+            else:
+                # First frame: no count yet — take the safe full bucket.
+                if self._last_n_live is None:
+                    bucket = fbucket = self._buckets[-1]
+                else:
+                    bucket = self._pick_bucket(self._last_n_live)
+                    fbucket = self._pick_bucket(self._face_need(
+                        self._last_n_face, self._last_n_live))
+                backup = None
+                if bucket < self._buckets[-1] or \
+                        fbucket < self._buckets[-1]:
+                    # frame_step donates the store; keep a device-side
+                    # copy (one fused dispatch, ~1 MB) so an overflow
+                    # frame can re-run with a bigger bucket.
+                    backup = _copy_store(self.store)
+                self.store, result = frame_step(
+                    self.bundle, self.store, frame_dev,
+                    self.tracker_cfg, self.nms_cfg, self.pipe_cfg,
+                    gmc_affine, reid_bucket=bucket,
+                    face_bucket=fbucket)
+                result_host = jax.device_get(result)
+                n_live, n_face = _live_and_face_counts(
+                    result_host, self._det_width)
+                if n_live > bucket or \
+                        self._face_need(n_face, n_live) > fbucket:
+                    self.store, result = frame_step(
+                        self.bundle, backup, frame_dev,
+                        self.tracker_cfg, self.nms_cfg, self.pipe_cfg,
+                        gmc_affine,
+                        reid_bucket=self._pick_bucket(n_live),
+                        face_bucket=self._pick_bucket(
+                            self._face_need(n_face, n_live)))
+                    result_host = jax.device_get(result)
+                self._last_n_live = n_live
+                self._last_n_face = n_face
         with self.timers.stage("assemble"):
             return self._assemble(result_host)
 
@@ -216,6 +299,30 @@ class BatchedBoTSORTPipeline:
         self.frame_id = 0
         # Per-stream once-only warning state.
         self._warn = [type("W", (), {})() for _ in range(n_streams)]
+        # Shared static ReID bucket (see BoTSORTPipeline): sized by the
+        # max live count across streams last frame.
+        d = min(tracker_cfg.max_dets, nms_cfg.max_boxes_per_class)
+        r = pipe_cfg.max_reid_batch
+        dp = -(-d // r) * r
+        self._buckets = sorted({0, min(r, dp), dp})
+        self._last_max_live = None
+        self._last_max_face = 0
+        self._det_width = d
+
+    def _pick_bucket(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        return self._buckets[-1]
+
+    def _counts(self, res_host):
+        """(max live bodies, max attached faces) across streams."""
+        live = face = 0
+        for s in range(self.n_streams):
+            res_s = jax.tree.map(lambda x: x[s], res_host)
+            nl, nf = _live_and_face_counts(res_s, self._det_width)
+            live, face = max(live, nl), max(face, nf)
+        return live, face
 
     def update(self, frames_bgr) -> List[List[STrackView]]:
         """frames_bgr: [B, H, W, 3] uint8 (list or array; one frame per
@@ -225,10 +332,41 @@ class BatchedBoTSORTPipeline:
         if frames.shape[0] != self.n_streams:
             raise ValueError(
                 f"expected {self.n_streams} frames, got {frames.shape[0]}")
-        self.stores, result = self._step(
-            self.bundle, self.stores, frames,
-            self.tracker_cfg, self.nms_cfg, self.pipe_cfg)
-        res_host = jax.device_get(result)
+        if not self.pipe_cfg.host_bucket_dispatch:
+            self.stores, result = self._step(
+                self.bundle, self.stores, frames,
+                self.tracker_cfg, self.nms_cfg, self.pipe_cfg)
+            res_host = jax.device_get(result)
+        else:
+            if self._last_max_live is None:
+                bucket = fbucket = self._buckets[-1]
+            else:
+                bucket = self._pick_bucket(self._last_max_live)
+                need = (0 if self._last_max_live == 0 else
+                        self._last_max_face
+                        + (1 if self._last_max_face
+                           < self._last_max_live else 0))
+                fbucket = self._pick_bucket(need)
+            backup = None
+            if bucket < self._buckets[-1] or fbucket < self._buckets[-1]:
+                backup = _copy_store(self.stores)
+            self.stores, result = self._step(
+                self.bundle, self.stores, frames,
+                self.tracker_cfg, self.nms_cfg, self.pipe_cfg,
+                None, bucket, fbucket)
+            res_host = jax.device_get(result)
+            max_live, max_face = self._counts(res_host)
+            need = (0 if max_live == 0 else
+                    max_face + (1 if max_face < max_live else 0))
+            if max_live > bucket or need > fbucket:
+                self.stores, result = self._step(
+                    self.bundle, backup, frames,
+                    self.tracker_cfg, self.nms_cfg, self.pipe_cfg,
+                    None, self._pick_bucket(max_live),
+                    self._pick_bucket(need))
+                res_host = jax.device_get(result)
+            self._last_max_live = max_live
+            self._last_max_face = max_face
         out = []
         for s in range(self.n_streams):
             res_s = jax.tree.map(lambda x: x[s], res_host)
