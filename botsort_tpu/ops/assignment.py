@@ -175,27 +175,20 @@ def solve_masked(
     row_valid: [MAX_A] bool; col_valid: [MAX_B] bool.
     cost_limit: scalar — lapjv cost_limit semantics as described above.
     """
-    max_a, max_b = cost.shape
     cost = cost.astype(jnp.float32)
     cost_limit = jnp.asarray(cost_limit, dtype=jnp.float32)
-    empty = AssignmentResult(
-        col_for_row=jnp.full((max_a,), -1, jnp.int32),
-        row_for_col=jnp.full((max_b,), -1, jnp.int32),
-    )
-    # Fast path: one side empty -> nothing can match (lap returns all
-    # unmatched for size-0 problems, demo:1683-1684). The auction's
-    # hundreds of sequential bid rounds are skipped entirely — the
-    # cascade's pass 2 (low-score dets) and pass 3 (unconfirmed tracks)
-    # are empty on most frames.
-    degenerate = jnp.logical_or(
-        jnp.logical_not(jnp.any(row_valid)),
-        jnp.logical_not(jnp.any(col_valid)))
-    return jax.lax.cond(
-        degenerate,
-        lambda: empty,
-        lambda: _solve_masked_nonempty(cost, row_valid, col_valid,
-                                       cost_limit, max_iters),
-    )
+    # No degenerate-skip cond: on this platform a lax.cond costs close
+    # to its untaken branch's execution anyway (docs/PERF.md
+    # "Conditionals" — with the XLA while-loop solver in the skipped
+    # branch an empty frame measured ~8 ms/pass SLOWER than just
+    # running it). A fully-parked instance (one side empty — the
+    # cascade's pass 2/3 on most frames) has zero live rows, so the
+    # augmentation loop exits immediately and the solver itself IS the
+    # fast path: everything stays pre-matched to dummies and every real
+    # endpoint extracts as unmatched, identical to lap's size-0 return
+    # (demo:1683-1684; tests/test_assignment.py degenerate cases).
+    return _solve_masked_nonempty(cost, row_valid, col_valid,
+                                  cost_limit, max_iters)
 
 
 def _solve_masked_nonempty(
