@@ -44,16 +44,27 @@ def main(argv=None):
         detector_input_hw=(96, 128), body_reid_input_hw=(64, 32),
         face_reid_input_hw=(32, 32), max_reid_batch=4)
 
+    # The host facade dispatches static ReID-bucket programs (see
+    # pipeline/host.py); pre-compile every (body, face) bucket pair it
+    # can pick so no live frame pays a first compile.
+    from botsort_tpu.pipeline.frame_step import reid_bucket_set
+
+    buckets = reid_bucket_set(tracker_cfg, nms_cfg, pipe_cfg)
+    pairs = [(b, fb) for b in buckets for fb in buckets if fb <= b]
+
     for res in args.resolutions:
         h, w = (int(v) for v in res.split("x"))
         frame = jnp.zeros((h, w, 3), jnp.uint8)
-        store = empty_store(tracker_cfg)
-        t0 = time.time()
-        store, result = frame_step(bundle, store, frame, tracker_cfg,
-                                   nms_cfg, pipe_cfg)
-        jax.block_until_ready(result.tracks.valid)
-        print(green(f"compiled {h}x{w} in {time.time() - t0:.1f}s "
-                    f"(cache: {cache})"))
+        for b, fb in pairs:
+            store = empty_store(tracker_cfg)
+            t0 = time.time()
+            store, result = frame_step(bundle, store, frame, tracker_cfg,
+                                       nms_cfg, pipe_cfg, None,
+                                       reid_bucket=b, face_bucket=fb)
+            jax.block_until_ready(result.tracks.valid)
+            print(green(
+                f"compiled {h}x{w} buckets ({b},{fb}) in "
+                f"{time.time() - t0:.1f}s (cache: {cache})"))
     return 0
 
 

@@ -67,6 +67,18 @@ def _det_width(tracker_cfg: TrackerConfig, nms_cfg: NMSConfig) -> int:
     return min(tracker_cfg.max_dets, nms_cfg.max_boxes_per_class)
 
 
+def reid_bucket_set(tracker_cfg: TrackerConfig, nms_cfg: NMSConfig,
+                    pipe_cfg: PipelineConfig) -> list[int]:
+    """The static ReID bucket sizes the host dispatcher picks from
+    (ascending): skip-entirely, the common small batch, the full padded
+    det width. One compiled program per (body, face) bucket pair —
+    cli/warmup.py pre-compiles them all."""
+    d = _det_width(tracker_cfg, nms_cfg)
+    r = pipe_cfg.max_reid_batch
+    dp = -(-d // r) * r
+    return sorted({0, min(r, dp), dp})
+
+
 def _pad_slots(arr: jnp.ndarray, dp: int, axis: int = 0,
                fill=0) -> jnp.ndarray:
     """Pad (or slice) `axis` to dp slots."""

@@ -94,13 +94,15 @@ class BoTSORTPipeline:
         # overflows it (exactness preserved; per-sample encoder outputs
         # are batch-size invariant). One compiled program per bucket,
         # all cached.
-        d = min(tracker_cfg.max_dets, nms_cfg.max_boxes_per_class)
-        r = pipe_cfg.max_reid_batch
-        dp = -(-d // r) * r
-        self._buckets = sorted({0, min(r, dp), dp})
+        from botsort_tpu.pipeline.frame_step import (
+            _det_width,
+            reid_bucket_set,
+        )
+
+        self._buckets = reid_bucket_set(tracker_cfg, nms_cfg, pipe_cfg)
         self._last_n_live = None
         self._last_n_face = 0
-        self._det_width = d
+        self._det_width = _det_width(tracker_cfg, nms_cfg)
 
     def _pick_bucket(self, n: int) -> int:
         for b in self._buckets:
@@ -301,13 +303,15 @@ class BatchedBoTSORTPipeline:
         self._warn = [type("W", (), {})() for _ in range(n_streams)]
         # Shared static ReID bucket (see BoTSORTPipeline): sized by the
         # max live count across streams last frame.
-        d = min(tracker_cfg.max_dets, nms_cfg.max_boxes_per_class)
-        r = pipe_cfg.max_reid_batch
-        dp = -(-d // r) * r
-        self._buckets = sorted({0, min(r, dp), dp})
+        from botsort_tpu.pipeline.frame_step import (
+            _det_width,
+            reid_bucket_set,
+        )
+
+        self._buckets = reid_bucket_set(tracker_cfg, nms_cfg, pipe_cfg)
         self._last_max_live = None
         self._last_max_face = 0
-        self._det_width = d
+        self._det_width = _det_width(tracker_cfg, nms_cfg)
 
     def _pick_bucket(self, n: int) -> int:
         for b in self._buckets:
