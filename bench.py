@@ -71,10 +71,37 @@ def check_jv_on_device(trials: int = 4, seed: int = 7) -> None:
             + sub.shape[1] - (ref_col >= 0).sum())
         assert abs(obj - ref_obj) < 1e-4, (
             f"JV objective mismatch on device: {obj} vs {ref_obj}")
+
+    # The fused cascade solver (one launch, three chained passes with
+    # in-kernel mask derivation) must agree with three solve_masked
+    # calls — the composition just verified against the C++ solver.
+    for t in range(trials):
+        n, m = 20, 14
+        d1, iou3, d3 = (jnp.asarray(
+            rng.uniform(0, 1, (n, m)).astype(np.float32))
+            for _ in range(3))
+        pool = jnp.asarray(rng.uniform(0, 1, n) < 0.6)
+        tracked = pool & jnp.asarray(rng.uniform(0, 1, n) < 0.7)
+        unconf = (~pool) & jnp.asarray(rng.uniform(0, 1, n) < 0.4)
+        high = jnp.asarray(rng.uniform(0, 1, m) < 0.6)
+        low = (~high) & jnp.asarray(rng.uniform(0, 1, m) < 0.5)
+        lims = (0.8, 0.5, 0.7)
+        fused = assignment.solve_cascade_masked(
+            d1, iou3, d3, pool, tracked, unconf, high, low, lims)
+        res1 = assignment.solve_masked(d1, pool, high, lims[0])
+        rv2 = tracked & (res1.col_for_row < 0)
+        res2 = assignment.solve_masked(iou3, rv2, low, lims[1])
+        leftover = high & (res1.row_for_col < 0)
+        res3 = assignment.solve_masked(d3, unconf, leftover, lims[2])
+        for want, got in zip((res1, res2, res3), fused):
+            assert (np.asarray(want.col_for_row)
+                    == np.asarray(got.col_for_row)).all(), "cascade fused"
+            assert (np.asarray(want.row_for_col)
+                    == np.asarray(got.row_for_col)).all(), "cascade fused"
     import sys
 
-    print(f"JV on-device optimality check passed ({trials} instances)",
-          file=sys.stderr)
+    print(f"JV + fused-cascade on-device checks passed "
+          f"({trials} instances each)", file=sys.stderr)
 
 
 def tunnel_floor_s(reps: int = 6) -> float:

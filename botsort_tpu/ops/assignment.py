@@ -273,3 +273,53 @@ def _solve_masked_nonempty(
         .set(jnp.arange(max_b, dtype=jnp.int32))[:max_a]
     )
     return AssignmentResult(col_for_row=col_for_row, row_for_col=row_for_col)
+
+
+@partial(jax.jit, static_argnames=("limits", "max_iters"))
+def solve_cascade_masked(
+    dists1: jnp.ndarray,
+    iou_d: jnp.ndarray,
+    dists3: jnp.ndarray,
+    pool_m: jnp.ndarray,
+    tracked_m: jnp.ndarray,
+    unconf_m: jnp.ndarray,
+    high_m: jnp.ndarray,
+    low_m: jnp.ndarray,
+    limits: tuple,
+    max_iters: int = 20000,
+):
+    """The association cascade's three chained thresholded LAPs.
+
+    Pass 1: pool_m x high_m over dists1 (limit limits[0]).
+    Pass 2: (tracked_m & pass-1-row-unmatched) x low_m over iou_d.
+    Pass 3: unconf_m x (high_m & pass-1-col-unmatched) over dists3.
+    Returns (res1, res2, res3) AssignmentResults.
+
+    On TPU this is ONE Pallas launch (assignment_pallas.
+    cascade_solve_pallas): each pallas_call whose inputs depend on the
+    scan-carried track store costs ~1.8 ms/step on this platform
+    regardless of the work inside (docs/PERF.md "Conditionals"), so the
+    three chained launches were the sparse-frame bottleneck. Elsewhere
+    (CPU tests, BOTSORT_TPU_PALLAS_LAP=0) it composes three
+    solve_masked calls — the semantics oracle the kernel is tested
+    against (tests/test_cascade_solve.py).
+    """
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("BOTSORT_TPU_PALLAS_LAP", "1") == "1"
+    )
+    if use_pallas:
+        from botsort_tpu.ops.assignment_pallas import cascade_solve_pallas
+
+        out = cascade_solve_pallas(
+            dists1.astype(jnp.float32), iou_d.astype(jnp.float32),
+            dists3.astype(jnp.float32), pool_m, tracked_m, unconf_m,
+            high_m, low_m, tuple(float(x) for x in limits),
+            min(max_iters, 4096))
+        return tuple(AssignmentResult(cfr, rfc) for cfr, rfc in out)
+    res1 = solve_masked(dists1, pool_m, high_m, limits[0], max_iters)
+    rv2 = tracked_m & (res1.col_for_row < 0)
+    res2 = solve_masked(iou_d, rv2, low_m, limits[1], max_iters)
+    leftover = high_m & (res1.row_for_col < 0)
+    res3 = solve_masked(dists3, unconf_m, leftover, limits[2], max_iters)
+    return res1, res2, res3

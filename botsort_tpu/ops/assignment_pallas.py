@@ -165,6 +165,303 @@ def _get_jv_call(max_iters: int, interpret: bool):
     return jv_call
 
 
+def _shift_lanes(x, s: int):
+    """y[0, l] = x[0, l - s] (zeros shifted in); s static."""
+    if s == 0:
+        return x
+    z = jnp.zeros((1, s), x.dtype)
+    return jnp.concatenate([z, x], axis=1)[:, :x.shape[1]]
+
+
+def _cascade_kernel(cost_ref, pool_ref, tracked_ref, unconf_ref,
+                    high_ref, low_ref, big_ref,
+                    p_out, q_out, plive_out,
+                    minv_ref, way_ref, used_ref, onpath_ref, u_ref, v_ref,
+                    *, n_rows: int, n_cols: int, limits, max_iters: int):
+    """The association cascade's THREE chained JV solves in ONE kernel.
+
+    Measured on this platform, every pallas_call whose inputs depend on
+    the scan-carried track store costs ~1.8 ms per step regardless of
+    the work inside (tools/perf_probe bisection; docs/PERF.md), so three
+    chained solve_masked launches taxed every frame ~5.5 ms. This kernel
+    runs pass 1 (pool x high, fused costs), derives the pass-2/3
+    row/column masks from pass 1's matching IN-KERNEL, and runs passes
+    2 (unmatched-tracked x low, IoU) and 3 (unconfirmed x leftover-high)
+    back to back — one launch, one tax.
+
+    Differences from _jv_kernel: the extended square matrix is never
+    materialized — each Dijkstra pop builds its ext ROW on the fly from
+    the pass's cost matrix, the row's class (live/parked/dummy/pad) and
+    the column masks; the matching is tracked from both sides (p: owner
+    row per column, q: column per row, plive: column owned by a LIVE
+    row) so pass-2/3 masks and the host-side extraction need no gathers.
+    """
+    b = pl.program_id(0)
+    sp = pool_ref.shape[1]
+    s_total = n_rows + n_cols
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
+
+    def scalar_at(vec, j):
+        return jnp.sum(jnp.where(idx == j, vec, 0)).astype(jnp.int32)
+
+    def scalar_at_f(vec, j):
+        return jnp.sum(jnp.where(idx == j, vec, 0.0))
+
+    big = big_ref[b, 0]
+    lane_real_col = (idx < n_cols).astype(jnp.int32)
+    lane_real_row = (idx < n_rows).astype(jnp.int32)
+    lane_in_s = (idx < s_total).astype(jnp.int32)
+
+    for pass_i in range(3):
+        half = limits[pass_i] / 2.0
+        if pass_i == 0:
+            rv = pool_ref[:, :] * lane_real_row
+            cv = high_ref[:, :] * lane_real_col
+        elif pass_i == 1:
+            q1 = q_out[0, :, :]
+            unmatched1 = jnp.where(q1 >= n_cols, 1, 0)
+            rv = tracked_ref[:, :] * unmatched1 * lane_real_row
+            cv = low_ref[:, :] * lane_real_col
+        else:
+            plive1 = plive_out[0, :, :]
+            rv = unconf_ref[:, :] * lane_real_row
+            cv = high_ref[:, :] * (1 - plive1) * lane_real_col
+        rv_shift = _shift_lanes(rv, n_cols)   # rv[l - D] at lane l
+        cv_shift = _shift_lanes(cv, n_rows)   # cv[l - N] at lane l
+        # Live rows of the SQUARE problem: valid real rows AND the
+        # dummy rows of valid columns — the latter must be augmented
+        # too (they are how valid columns acquire their dummy opt-out;
+        # without them the square matching is incomplete and the
+        # matching of the real block is not optimal). Disjoint supports
+        # so a plain sum forms the mask.
+        live_vec = rv + cv_shift
+
+        # Designated parking (see ops/assignment.py): invalid real col j
+        # owned by dummy row N+j; invalid real row i owns dummy col D+i;
+        # pad lanes pair diagonally.
+        p_init = jnp.where(
+            lane_real_col == 1,
+            jnp.where(cv == 0, n_rows + idx, -1),
+            jnp.where(lane_in_s == 1,
+                      jnp.where(rv_shift == 0, idx - n_cols, -1),
+                      idx))
+        q_init = jnp.where(
+            lane_real_row == 1,
+            jnp.where(rv == 0, n_cols + idx, -1),
+            jnp.where(lane_in_s == 1,
+                      jnp.where(cv_shift == 0, idx - n_rows, -1),
+                      idx))
+        p_out[pass_i, :, :] = p_init
+        q_out[pass_i, :, :] = q_init
+        plive_out[pass_i, :, :] = jnp.zeros((1, sp), jnp.int32)
+        u_ref[:, :] = jnp.zeros((1, sp), jnp.float32)
+        v_ref[:, :] = jnp.zeros((1, sp), jnp.float32)
+
+        def ext_row(r):
+            """Extended-matrix row r, built on the fly (1, sp)."""
+            r_clamped = jnp.minimum(r, n_rows - 1)
+            cost_row = cost_ref[pass_i, pl.ds(r_clamped, 1), :]
+            rv_r = scalar_at(rv, r)
+            live_real = jnp.where(
+                lane_real_col == 1,
+                jnp.where(cv == 1, cost_row, big),
+                jnp.where(lane_in_s == 1, half, 1e9))
+            parked_real = jnp.where(
+                lane_real_col == 1, big,
+                jnp.where(lane_in_s == 1, 0.0, 1e9))
+            dummy_row = jnp.where(
+                lane_real_col == 1,
+                jnp.where(cv == 1, half, 0.0),
+                jnp.where(lane_in_s == 1, 0.0, 1e9))
+            pad_row = jnp.where(idx == r, 0.0, 1e9)
+            real = jnp.where(rv_r == 1, live_real, parked_real)
+            in_s = jnp.where(r < n_rows, real, dummy_row)
+            return jnp.where(r < s_total, in_s, pad_row)
+
+        def outer(i0, carry):
+            rv_i = scalar_at(live_vec, i0)
+            minv_ref[:, :] = jnp.full((1, sp), _INF, jnp.float32)
+            way_ref[:, :] = jnp.full((1, sp), sp, jnp.int32)
+            used_ref[:, :] = jnp.zeros((1, sp), jnp.int32)
+            onpath_ref[:, :] = jnp.zeros((1, sp), jnp.int32)
+
+            def pop_cond(pst):
+                return jnp.logical_and(pst[2] == 0, pst[3] < max_iters)
+
+            def pop_body(pst):
+                cur_row, j_from, done, it = pst
+                onpath_ref[:, :] = jnp.where(idx == cur_row, 1,
+                                             onpath_ref[:, :])
+                used = used_ref[:, :]
+                erow = ext_row(cur_row)
+                u_cur = scalar_at_f(u_ref[:, :], cur_row)
+                reduced = erow - u_cur - v_ref[:, :]
+                minv = minv_ref[:, :]
+                upd = (used == 0) & (reduced < minv)
+                minv = jnp.where(upd, reduced, minv)
+                way_ref[:, :] = jnp.where(upd, j_from, way_ref[:, :])
+                masked = jnp.where(used == 1, _INF, minv)
+                delta = jnp.min(masked)
+                j1 = jnp.argmin(masked).astype(jnp.int32)
+                u_ref[:, :] = jnp.where(onpath_ref[:, :] == 1,
+                                        u_ref[:, :] + delta, u_ref[:, :])
+                v_ref[:, :] = jnp.where(used == 1, v_ref[:, :] - delta,
+                                        v_ref[:, :])
+                minv_ref[:, :] = jnp.where(used == 1, minv, minv - delta)
+                used_ref[:, :] = jnp.where(idx == j1, 1, used)
+                nxt_row = scalar_at(p_out[pass_i, :, :], j1)
+                done = jnp.where(nxt_row < 0, 1, 0).astype(jnp.int32)
+                cur_row = jnp.where(nxt_row < 0, cur_row, nxt_row)
+                return (cur_row, j1, done, it + 1)
+
+            # Parked rows skip both loops via their initial state
+            # (done=1 / j_end=sp), so no scalar conditional is needed.
+            _, j_end, _, _ = jax.lax.while_loop(
+                pop_cond, pop_body,
+                (i0, jnp.int32(sp), 1 - rv_i, jnp.int32(0)))
+
+            def unwind_cond(ust):
+                return jnp.logical_and(ust[0] < sp, ust[1] < max_iters)
+
+            def unwind_body(ust):
+                j0, it = ust
+                j1 = scalar_at(way_ref[:, :], j0)
+                row = jnp.where(j1 >= sp, i0,
+                                scalar_at(p_out[pass_i, :, :], j1))
+                p_out[pass_i, :, :] = jnp.where(idx == j0, row,
+                                                p_out[pass_i, :, :])
+                q_out[pass_i, :, :] = jnp.where(idx == row, j0,
+                                                q_out[pass_i, :, :])
+                live = jnp.logical_and(row < n_rows,
+                                       scalar_at(rv, row) == 1)
+                plive_out[pass_i, :, :] = jnp.where(
+                    idx == j0, jnp.where(live, 1, 0),
+                    plive_out[pass_i, :, :])
+                return j1, it + 1
+
+            jax.lax.while_loop(
+                unwind_cond, unwind_body,
+                (jnp.where(rv_i == 1, j_end, sp), jnp.int32(0)))
+            return carry
+
+        jax.lax.fori_loop(0, s_total, outer, jnp.int32(0))
+
+
+def _cascade_call_batched(costs, pool, tracked, unconf, high, low, big,
+                          n_rows: int, n_cols: int, limits,
+                          max_iters: int, interpret: bool):
+    """costs [B,3,SP,SP] f32; masks [B,1,SP] int32; big [B,1] f32 ->
+    (p, q, plive) each [B,3,1,SP] int32."""
+    bsz, _, sp, _ = costs.shape
+    kernel = functools.partial(
+        _cascade_kernel, n_rows=n_rows, n_cols=n_cols,
+        limits=tuple(limits), max_iters=max_iters)
+    mask_spec = pl.BlockSpec((None, 1, sp), lambda b: (b, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((bsz, 3, 1, sp), jnp.int32)
+    out_spec = pl.BlockSpec((None, 3, 1, sp), lambda b: (b, 0, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        out_shape=(out_shape, out_shape, out_shape),
+        in_specs=[
+            pl.BlockSpec((None, 3, sp, sp), lambda b: (b, 0, 0, 0)),
+            mask_spec, mask_spec, mask_spec, mask_spec, mask_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((1, sp), jnp.float32),   # minv
+            pltpu.VMEM((1, sp), jnp.int32),     # way
+            pltpu.VMEM((1, sp), jnp.int32),     # used
+            pltpu.VMEM((1, sp), jnp.int32),     # on_path
+            pltpu.VMEM((1, sp), jnp.float32),   # u
+            pltpu.VMEM((1, sp), jnp.float32),   # v
+        ],
+        interpret=interpret,
+    )(costs, pool, tracked, unconf, high, low, big)
+
+
+@functools.lru_cache(maxsize=None)
+def _get_cascade_call(n_rows: int, n_cols: int, limits, max_iters: int,
+                      interpret: bool):
+    """custom_vmap wrapper (see _get_jv_call): vmap over streams runs as
+    a B-step grid in ONE kernel launch."""
+
+    @jax.custom_batching.custom_vmap
+    def call(costs, pool, tracked, unconf, high, low, big):
+        outs = _cascade_call_batched(
+            costs[None], pool[None], tracked[None], unconf[None],
+            high[None], low[None], big[None],
+            n_rows, n_cols, limits, max_iters, interpret)
+        return tuple(o[0] for o in outs)
+
+    @call.def_vmap
+    def _vmap(axis_size, in_batched, *args):
+        args = [
+            x if bb else jnp.broadcast_to(x, (axis_size,) + x.shape)
+            for x, bb in zip(args, in_batched)
+        ]
+        return _cascade_call_batched(
+            *args, n_rows, n_cols, limits, max_iters, interpret), (
+            True, True, True)
+
+    return call
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("limits", "max_iters", "interpret"))
+def cascade_solve_pallas(
+    dists1: jnp.ndarray,
+    iou_d: jnp.ndarray,
+    dists3: jnp.ndarray,
+    pool_m: jnp.ndarray,
+    tracked_m: jnp.ndarray,
+    unconf_m: jnp.ndarray,
+    high_m: jnp.ndarray,
+    low_m: jnp.ndarray,
+    limits: tuple,
+    max_iters: int = 4096,
+    interpret: bool = False,
+):
+    """Three chained thresholded-LAP solves in one kernel launch.
+
+    dists1/iou_d/dists3: [N, D] pass costs. pool/tracked/unconf: [N]
+    row masks; high/low: [D] col masks. limits: 3 static cost limits.
+    Returns ((cfr1, rfc1), (cfr2, rfc2), (cfr3, rfc3)) with
+    solve_masked's -1-for-unmatched convention; the pass-2 row mask
+    (tracked & pass-1-unmatched) and pass-3 col mask (high &
+    pass-1-unmatched) are derived inside the kernel.
+    """
+    n, d = dists1.shape
+    sp = ((n + d + 127) // 128) * 128
+
+    def padded(c):
+        c = jnp.nan_to_num(c.astype(jnp.float32), posinf=1e9, neginf=-1e9)
+        return jnp.pad(c, ((0, sp - n), (0, sp - d)))
+
+    costs = jnp.stack([padded(dists1), padded(iou_d), padded(dists3)])
+    finite_max = jnp.max(jnp.abs(costs[:, :n, :d]))
+    big = (finite_max + max(abs(float(x)) for x in limits) + 1.0)[None]
+
+    def lane(m, width):
+        m = m.astype(jnp.int32)
+        return jnp.pad(m, (0, sp - width))[None, :]
+
+    p, q, plive = _get_cascade_call(
+        n, d, tuple(float(x) for x in limits), max_iters, interpret)(
+        costs, lane(pool_m, n), lane(tracked_m, n), lane(unconf_m, n),
+        lane(high_m, d), lane(low_m, d), big)
+
+    results = []
+    for i in range(3):
+        qq = q[i, 0, :n]
+        cfr = jnp.where((qq >= 0) & (qq < d), qq, -1).astype(jnp.int32)
+        rfc = jnp.where(plive[i, 0, :d] > 0, p[i, 0, :d], -1).astype(
+            jnp.int32)
+        results.append((cfr, rfc))
+    return tuple(results)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters", "interpret"))
 def jv_solve_pallas(
     ext: jnp.ndarray,

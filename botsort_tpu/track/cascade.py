@@ -151,23 +151,29 @@ def tracker_update(
     gate = jnp.minimum(body_d, face_d) > cfg.appearance_thresh
     emb = jnp.where(gate, 1.0, body_d)
     dists1 = jnp.minimum(iou_d, emb)
-    res1 = assignment.solve_masked(dists1, pool_m, high_m, cfg.match_thresh)
 
-    # --- Pass 2: unmatched still-Tracked rows x low dets, IoU only.
-    r_tracked_m = tracked_m & (res1.col_for_row < 0)
-    res2 = assignment.solve_masked(
-        iou_d, r_tracked_m, low_m, cfg.second_match_thresh)
-    newly_lost_m = r_tracked_m & (res2.col_for_row < 0)
-
-    # --- Pass 3: unconfirmed x leftover high dets.
-    leftover_m = high_m & (res1.row_for_col < 0)
+    # Pass-3 cost (demo:1594-1601), built up front so all three chained
+    # solves run as ONE kernel launch (solve_cascade_masked — each
+    # launch whose inputs depend on the carried store costs ~1.8 ms on
+    # this platform, docs/PERF.md; the pass-2/3 masks derive from
+    # pass 1's matching inside the kernel).
     emb3 = 1.0 - jnp.maximum(0.0, body_sim)                      # demo:1599
     emb3 = jnp.where(emb3 > cfg.appearance_thresh, 1.0, emb3)
     emb3 = jnp.where(iou_d > cfg.proximity_thresh, 1.0, emb3)    # demo:1601
     dists3 = jnp.minimum(iou_d, emb3)
-    res3 = assignment.solve_masked(
-        dists3, unconfirmed_m, leftover_m, cfg.unconfirmed_match_thresh)
+
+    res1, res2, res3 = assignment.solve_cascade_masked(
+        dists1, iou_d, dists3, pool_m, tracked_m, unconfirmed_m,
+        high_m, low_m,
+        (cfg.match_thresh, cfg.second_match_thresh,
+         cfg.unconfirmed_match_thresh))
+
+    # Pass 2 rows were unmatched still-Tracked rows x low dets (IoU
+    # only); pass 3 unconfirmed x leftover high dets.
+    r_tracked_m = tracked_m & (res1.col_for_row < 0)
+    newly_lost_m = r_tracked_m & (res2.col_for_row < 0)
     removed_unconfirmed_m = unconfirmed_m & (res3.col_for_row < 0)
+    leftover_m = high_m & (res1.row_for_col < 0)
 
     # --- Fused measurement update for all matched rows (disjoint row sets).
     det_for_row = jnp.where(

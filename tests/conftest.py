@@ -25,7 +25,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: per-op compiles are slow in this
-# environment; the cache makes repeat test runs fast.
+# environment; the cache makes repeat test runs fast. Tests get their
+# OWN cache directory — sharing the TPU processes' cache meant
+# concurrent writers on the same files, and a flaky segfault was traced
+# into jax's cache-write path under that contention.
 from botsort_tpu.runtime.device import setup_compilation_cache  # noqa: E402
 
-setup_compilation_cache()
+setup_compilation_cache(
+    os.path.expanduser("~/.cache/botsort_tpu/xla-cpu-tests"))
