@@ -128,7 +128,8 @@ def tunnel_floor_s(reps: int = 6) -> float:
 
 
 def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
-               empty_store, k=32, reps=5, floor_s=0.0, reid_bucket=None):
+               empty_store, k=32, reps=5, floor_s=0.0, reid_bucket=None,
+               face_bucket=None):
     """Device-side throughput: scan K frame-steps inside ONE program.
 
     The development TPU is reached through a tunnel whose latency varies
@@ -147,7 +148,7 @@ def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
     def run_k(bundle, store, frames_k):
         def body(s, f):
             s2, out = frame_step(bundle, s, f, tracker_cfg, nms_cfg,
-                                 pipe_cfg, None, reid_bucket)
+                                 pipe_cfg, None, reid_bucket, face_bucket)
             return s2, out.tracks.valid
         return jax.lax.scan(body, store, frames_k)
 
@@ -239,9 +240,12 @@ def main():
     # (the host facade picks these live from the previous frame's count;
     # an in-program dynamic switch costs nearly the skipped branch's
     # execution time on this platform — docs/PERF.md).
+    # Face bucket 16: what the host dispatcher picks for this scene
+    # (few face boxes attach on the synthetic frames; the body crowd is
+    # the full 64 bucket).
     fps_loaded, compile_s, n_tracks = run_config(
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
-        empty_store, floor_s=floor_s, reid_bucket=64)
+        empty_store, floor_s=floor_s, reid_bucket=64, face_bucket=16)
 
     # In-program dynamic bucketing (the scan fallback when the load is
     # unknown) on the same loaded scene, for transparency.
