@@ -43,8 +43,11 @@ def check_jv_on_device(trials: int = 4, seed: int = 7) -> None:
 
     rng = np.random.default_rng(seed)
     limit = 0.8
-    for t in range(trials):
-        n, m = 24, 18
+    # Final instance at the production shape (max_tracks=64 x max_dets=50,
+    # padded to 128 lanes inside the Mosaic kernel) so layout/padding
+    # edge cases at real sizes fail loudly before the timing run.
+    shapes = [(24, 18)] * (trials - 1) + [(64, 50)]
+    for n, m in shapes:
         cost = rng.uniform(0.0, 1.0, (n, m)).astype(np.float32)
         rv = rng.uniform(0, 1, n) < 0.8
         cv = rng.uniform(0, 1, m) < 0.8
@@ -75,8 +78,8 @@ def check_jv_on_device(trials: int = 4, seed: int = 7) -> None:
     # The fused cascade solver (one launch, three chained passes with
     # in-kernel mask derivation) must agree with three solve_masked
     # calls — the composition just verified against the C++ solver.
-    for t in range(trials):
-        n, m = 20, 14
+    # Last instance at the production 64x50 shape.
+    for n, m in [(20, 14)] * (trials - 1) + [(64, 50)]:
         d1, iou3, d3 = (jnp.asarray(
             rng.uniform(0, 1, (n, m)).astype(np.float32))
             for _ in range(3))
@@ -168,6 +171,40 @@ def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
     return k / max(best - floor_s, 1e-9), compile_s, n_tracks
 
 
+def run_host_path(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg,
+                  frames, empty_store, k=64, reps=3, floor_s=0.0,
+                  reid_bucket=None, face_bucket=None):
+    """Per-dispatch (live host loop) throughput: K separate frame_step
+    dispatches chained through the store, one readback at the end.
+
+    The scan method (run_config) measures the chip inside ONE compiled
+    program but carries an unexplained in-scan scheduling tax
+    (docs/PERF.md); the live host path dispatches per frame, exactly
+    like this. Frames are pre-staged on device so the measurement is
+    dispatch+compute, not host->device transfer of 6 MB/frame through
+    the dev tunnel (production hosts are not behind this tunnel).
+    """
+    import jax
+
+    frames_dev = [jax.device_put(f) for f in frames]
+    store = empty_store(tracker_cfg)
+    store, res = frame_step(bundle, store, frames_dev[0], tracker_cfg,
+                            nms_cfg, pipe_cfg, None, reid_bucket,
+                            face_bucket)
+    _ = jax.device_get(res.tracks.valid)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for i in range(k):
+            store, res = frame_step(
+                bundle, store, frames_dev[i % len(frames_dev)],
+                tracker_cfg, nms_cfg, pipe_cfg, None, reid_bucket,
+                face_bucket)
+        _ = jax.device_get(res.tracks.valid)
+        best = min(best, time.perf_counter() - t0)
+    return k / max(best - floor_s, 1e-9)
+
+
 def run_batched(bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
                 empty_store, b=4, k=8, reps=4, floor_s=0.0,
                 reid_bucket=None):
@@ -229,9 +266,13 @@ def main():
         for _ in range(4)
     ]
 
-    # Loaded config: zero-init weights emit uniform 0.25 class scores, so
-    # thresholds at 0.2 put a full 16-detection load with a live track
-    # pool through every cascade pass.
+    # Loaded config: fake_params draws random-normal weights
+    # (assets.py::build_bundle), whose detector emits enough
+    # above-threshold candidates at these lowered thresholds to fill all
+    # 50 body det slots every frame — a full detection load with a live
+    # track pool through every cascade pass. Guarded below: the bench
+    # aborts if the load ever collapses (threshold drift would otherwise
+    # silently hollow out the headline metric).
     floor_s = tunnel_floor_s()
     loaded_cfg = TrackerConfig(
         det_score_threshold=0.2, track_high_thresh=0.15,
@@ -239,13 +280,56 @@ def main():
     # Static ReID buckets matched to each operating point's known load
     # (the host facade picks these live from the previous frame's count;
     # an in-program dynamic switch costs nearly the skipped branch's
-    # execution time on this platform — docs/PERF.md).
-    # Face bucket 16: what the host dispatcher picks for this scene
-    # (few face boxes attach on the synthetic frames; the body crowd is
-    # the full 64 bucket).
+    # execution time on this platform — docs/PERF.md). The face bucket
+    # is DERIVED per scene: probe every distinct frame once with the
+    # full bucket, read back the attached-face need exactly as the host
+    # dispatcher would (pipeline/host.py::_live_and_face_counts), and
+    # pick the bucket that fits the max.
+    from botsort_tpu.pipeline.frame_step import (
+        _det_width,
+        reid_bucket_set,
+    )
+    from botsort_tpu.pipeline.host import _live_and_face_counts
+
+    buckets = reid_bucket_set(loaded_cfg, nms_cfg, pipe_cfg)
+    d_width = _det_width(loaded_cfg, nms_cfg)
+    probe_store = empty_store(loaded_cfg)
+    face_need = body_need = 0
+    for f in frames:
+        probe_store, res = frame_step(
+            bundle, probe_store, f, loaded_cfg, nms_cfg, pipe_cfg,
+            None, buckets[-1], buckets[-1])
+        res_h = jax.device_get(res)
+        n_live, n_face = _live_and_face_counts(res_h, d_width)
+        body_need = max(body_need, n_live)
+        face_need = max(face_need,
+                        (n_face + (1 if n_face < n_live else 0))
+                        if n_live else 0)
+    face_bucket = next(b for b in buckets if face_need <= b)
+    assert face_need <= face_bucket, (face_need, buckets)
+
     fps_loaded, compile_s, n_tracks = run_config(
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
-        empty_store, floor_s=floor_s, reid_bucket=64, face_bucket=16)
+        empty_store, floor_s=floor_s, reid_bucket=64,
+        face_bucket=face_bucket)
+    if n_tracks < d_width:
+        raise SystemExit(
+            f"ABORT: loaded config no longer saturates — {n_tracks} "
+            f"live tracks at steady state vs the full {d_width}-slot "
+            "detection load; the headline metric would be hollow. "
+            "Re-tune loaded_cfg thresholds.")
+
+    # Production dispatch path: the same loaded scene driven as the live
+    # host loop drives it — one frame_step dispatch per frame (no scan),
+    # K dispatches kept in flight back-to-back (the store dependency
+    # chains them on device), ONE readback at the end. This measures
+    # what serving actually pays: any in-scan scheduling tax
+    # (docs/PERF.md "cascade's in-scan tax") is absent, and the fixed
+    # tunnel round-trip amortizes across the K async dispatches.
+    fps_host = run_host_path(
+        frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
+        empty_store, floor_s=floor_s, reid_bucket=64,
+        face_bucket=face_bucket)
 
     # In-program dynamic bucketing (the scan fallback when the load is
     # unknown) on the same loaded scene, for transparency.
@@ -313,6 +397,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "frame_ms": round(1000.0 / fps_loaded, 3),
         "live_tracks": n_tracks,
+        "host_path_fps": round(fps_host, 2),
         "empty_scene_fps": round(fps_empty, 2),
         "moderate16_fps": round(fps_mod, 2),
         "dynamic_bucket_loaded_fps": round(fps_dyn, 2),

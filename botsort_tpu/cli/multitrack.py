@@ -84,6 +84,9 @@ def main(argv=None):
     last = [None] * b
     live = [True] * b
     n = 0
+    live_frames = 0  # live-stream frames only (ended streams coast on
+    #                  frozen last frames; their outputs are ignored and
+    #                  must not inflate the reported aggregate)
     t_start = None
     try:
         while any(live):
@@ -99,9 +102,17 @@ def main(argv=None):
                 frames.append(f)
             if len(frames) < b or not any(live):
                 break
+            shapes = {f.shape[:2] for f in frames}
+            if len(shapes) > 1:
+                print(f"ERROR: all videos must share one resolution; "
+                      f"got {sorted(shapes)} (HxW).")
+                return 1
+            step_live = sum(live)
             tracks_per_stream = pipeline.update(np.stack(frames))
             if t_start is None:
                 t_start = time.perf_counter()  # exclude first compile
+            else:
+                live_frames += step_live
             for s in range(b):
                 if not live[s]:
                     continue
@@ -126,9 +137,10 @@ def main(argv=None):
         for cap in caps:
             cap.release()
     dt = (time.perf_counter() - t_start) if t_start else 0.0
-    agg = b * max(n - 1, 0) / dt if dt > 0 else float("nan")
-    print(green(f"processed {n} frames x {b} streams "
-                f"({agg:.1f} FPS aggregate, steady-state)"))
+    agg = live_frames / dt if dt > 0 else float("nan")
+    print(green(f"processed {n} steps x {b} streams "
+                f"({agg:.1f} FPS aggregate over live streams, "
+                "steady-state)"))
     return 0
 
 

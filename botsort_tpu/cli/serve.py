@@ -90,11 +90,20 @@ def build_pipeline_factory(args):
         detector_input_hw=(96, 128), body_reid_input_hw=(64, 32),
         face_reid_input_hw=(32, 32), max_reid_batch=4)
     if getattr(args, "int8", False):
+        import sys
+
         from botsort_tpu.models.quantize import quantize_bundle
 
         # No stream yet at startup: calibrate on synthetic frames (the
         # conservative amax envelope); recalibrate offline with
         # quantize_bundle(frames=...) for production deployments.
+        print(
+            "WARNING: --int8 activation scales were calibrated on "
+            "SYNTHETIC random frames (no stream is available at serve "
+            "startup); per-tensor scales may mismatch real camera "
+            "statistics and degrade accuracy. Recalibrate offline with "
+            "quantize_bundle(frames=<real frames>) for production.",
+            file=sys.stderr)
         bundle = quantize_bundle(bundle, pipe_cfg=pipe_cfg)
     tracker_cfg = TrackerConfig(
         body_feature_dim=2048 if not args.mini else 256,
@@ -114,8 +123,11 @@ def main(argv=None):
     parser.add_argument("--mini", action="store_true")
     parser.add_argument(
         "--int8", action="store_true",
-        help="Serve detector + body ReID with int8 convolutions "
-             "(models/quantize.py; ~1.6x conv throughput on v5e).")
+        help="EXPERIMENTAL: serve detector + body ReID with int8 "
+             "convolutions (models/quantize.py). Measured NET-NEGATIVE "
+             "end-to-end on v5e/XLA today (requant + layout churn "
+             "outweigh the raw 1.6x conv rate — docs/PERF.md); useful "
+             "on backends where int8 convs fuse with requantization.")
     parser.add_argument(
         "--max_connections", type=int, default=0,
         help="Exit after serving N connections (0 = forever; testing).")

@@ -201,6 +201,10 @@ class QuantizedModule:
         sx = self.act_scale.get(path)
         if sx is None:
             return next_fun(*args, **kwargs)
+        # Same defensive guard as _calib_interceptor: flax can invoke
+        # intercepted conv methods without a positional array argument.
+        if not args or not hasattr(args[0], "ndim"):
+            return next_fun(*args, **kwargs)
         x = args[0]
         dims = _conv_dims(mod, x)
         kernel = mod.variables["params"]["kernel"]
