@@ -71,6 +71,58 @@ def flatten_flax_params(params):
     return entries
 
 
+def execution_order(model, sample):
+    """Module paths of Conv/BatchNorm/Dense leaves in CALL order.
+
+    Dict insertion order — which flatten_flax_params relies on — is
+    destroyed by ANY pytree round-trip (jax.jit(model.init), orbax
+    restore, tree_map all rebuild dicts with sorted keys, and
+    'BatchNorm_0' sorts BEFORE 'Conv_0'). Call order is recovered
+    structurally instead: a flax method interceptor records each leaf
+    module's path while tracing model.init under jax.eval_shape
+    (abstract — no FLOPs, no device).
+    """
+    import jax
+    from flax import linen as nn
+
+    order, seen = [], set()
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if isinstance(mod, (nn.Conv, nn.BatchNorm, nn.Dense)) and \
+                context.method_name == "__call__":
+            p = "/".join(mod.path)
+            if p not in seen:
+                seen.add(p)
+                order.append(p)
+        return next_fun(*args, **kwargs)
+
+    def trace(s):
+        with nn.intercept_methods(interceptor):
+            return model.init(jax.random.PRNGKey(0), s)
+
+    jax.eval_shape(trace, sample)
+    return order
+
+
+def ordered_flax_entries(model, sample, params):
+    """flatten_flax_params re-sorted into module EXECUTION order (the
+    order a topologically-sorted ONNX export lists its weights in).
+    Leaves of modules the interceptor does not see (e.g. GeM's pooling
+    exponent) keep their relative order at the end; assign() never
+    positions them."""
+    entries = flatten_flax_params(params)
+    order = execution_order(model, sample)
+    idx = {p: i for i, p in enumerate(order)}
+
+    def key(entry):
+        parts = entry[0].split("/")
+        mod = "/".join(parts[1:-1])  # strip collection prefix + leaf
+        return idx.get(mod, len(idx))
+
+    return sorted(entries, key=key)  # stable
+
+
 def load_onnx_graph(path: str):
     """(nodes, initializers) with a package-agnostic node view.
 
@@ -92,7 +144,8 @@ def load_onnx_graph(path: str):
                 if a.name == "transB":
                     trans_b = a.i
             nodes.append(dict(op_type=n.op_type, name=n.name,
-                              input=list(n.input), transB=trans_b))
+                              input=list(n.input), output=list(n.output),
+                              transB=trans_b))
         return nodes, init
     except ImportError:
         from tools import onnx_lite
@@ -103,7 +156,7 @@ def load_onnx_graph(path: str):
         for n in model.graph.node:
             a = n.attributes.get("transB")
             nodes.append(dict(op_type=n.op_type, name=n.name,
-                              input=list(n.input),
+                              input=list(n.input), output=list(n.output),
                               transB=a.i if a is not None else None))
         return nodes, init
 
@@ -112,7 +165,26 @@ def extract_onnx_layers(nodes, init):
     """Yield (kind, arrays) tuples in topological node order.
 
     kind in {conv, bn, gemm}; arrays are numpy weights for that layer.
+
+    Robust to real-export artifacts: post-processing tails (NMS / Gather
+    / Concat / Slice / Mul / Add decode nodes, even when they consume
+    constant initializers like anchor grids) contribute no layers, and
+    initializers reaching a layer through Identity nodes (some exporters
+    wrap constants) are chased to their source.
     """
+    # Chase Identity chains: tensor produced by Identity(initializer)
+    # is that initializer (repeat for Identity-of-Identity).
+    init = dict(init)
+    changed = True
+    while changed:
+        changed = False
+        for node in nodes:
+            if (node["op_type"] == "Identity" and node["input"]
+                    and node["input"][0] in init
+                    and node.get("output")
+                    and node["output"][0] not in init):
+                init[node["output"][0]] = init[node["input"][0]]
+                changed = True
     layers = []
     for node in nodes:
         op = node["op_type"]
@@ -193,7 +265,7 @@ def _lcs_align(flax_sigs, onnx_sigs):
     return pairs
 
 
-def assign(flax_entries, onnx_layers, strict=True):
+def assign(flax_entries, onnx_layers, strict=True, fused_bn_eps=None):
     """In-order assignment with shape verification.
 
     Returns ({path: np.ndarray}, [report lines]). With strict=True a
@@ -202,6 +274,15 @@ def assign(flax_entries, onnx_layers, strict=True):
     raise — a silent misload of same-COUNT-different-shape layers is
     impossible; same-shape swaps are undetectable by construction (run
     an activation-level check after import, see --selfcheck).
+
+    fused_bn_eps: inference exports commonly FOLD BatchNorm into the
+    preceding conv (zero BatchNormalization nodes; convs carry biases).
+    Our Flax blocks keep explicit BN modules with bias-free convs, so
+    such an export would silently drop every conv bias. When the ONNX
+    graph has no BN layers but the flax tree expects them, identity BN
+    parameters are synthesized — scale=1, mean=0, var=1-eps (so
+    sqrt(var+eps) == 1 exactly for the model's BN epsilon), and
+    bias=the conv's exported bias — making the composition bit-exact.
     """
     out = {}
     report = []
@@ -261,6 +342,60 @@ def assign(flax_entries, onnx_layers, strict=True):
     bn_scales = [(p, l) for p, l in flax_entries
                  if "/BatchNorm_" in p and p.endswith("scale")]
     onnx_bns = [a for k, a in onnx_layers if k == "bn"]
+
+    if (fused_bn_eps is not None and len(onnx_bns) < len(bn_scales)
+            and len(conv_kernels) == len(onnx_convs)):
+        # (Partially) fused Conv+BN export: fewer BN nodes than flax
+        # BatchNorms, with folded biases living on the convs. For each
+        # flax BN whose nearest PRECEDING conv (flax execution order —
+        # our ConvBN-style blocks emit conv-then-BN) carries an exported
+        # bias, synthesize identity BN params with that bias (see
+        # docstring); the remaining flax BNs (e.g. FastReID's BNNeck,
+        # which follows pooling so exporters cannot fold it) consume the
+        # graph's real BN nodes in order.
+        entry_order = {p: i for i, (p, _) in enumerate(flax_entries)}
+        conv_seq = sorted(((entry_order[p], p) for p, _ in conv_kernels))
+        onnx_bias_for_conv = {
+            p: a.get("bias")
+            for (p, _), a in zip(conv_kernels, onnx_convs)}
+        rebuilt, n_synth = [], 0
+        real_iter = iter(onnx_bns)
+        claimed = set()
+        for bn_path, bn_leaf in bn_scales:
+            bi = entry_order[bn_path]
+            prev = [p for i, p in conv_seq if i < bi]
+            c = prev[-1] if prev else None
+            if c in claimed:
+                # The nearest conv already feeds an earlier BN — this BN
+                # does not follow a conv (e.g. BNNeck after pooling).
+                c = None
+            bias = onnx_bias_for_conv.get(c) if c is not None else None
+            n = bn_leaf.shape[0]
+            if bias is not None and bias.shape == (n,):
+                claimed.add(c)
+                n_synth += 1
+                rebuilt.append({
+                    "scale": np.ones(n, np.float32),
+                    "bias": np.asarray(bias, np.float32),
+                    "mean": np.zeros(n, np.float32),
+                    "var": np.full(n, 1.0 - fused_bn_eps, np.float32),
+                    "name": f"synth_identity_bn<-{c}",
+                })
+            else:
+                rebuilt.append(next(real_iter, None))
+        leftover = sum(1 for _ in real_iter)
+        if all(b is not None for b in rebuilt) and leftover == 0:
+            onnx_bns = rebuilt
+            report.append(
+                f"fused Conv+BN export detected: synthesized {n_synth} "
+                f"identity BatchNorm layers (eps={fused_bn_eps}) "
+                f"carrying the exported conv biases; "
+                f"{len(rebuilt) - n_synth} real BN nodes kept")
+        else:
+            report.append(
+                "WARNING: fused-BN reconstruction failed (real BN nodes "
+                f"left over: {leftover}); falling back to count-mismatch "
+                "handling")
 
     def emit_bn(path, arrs):
         base = path.rsplit("/", 1)[0]
@@ -326,11 +461,26 @@ def dump_manifest(flax_entries, onnx_layers, file=None):
             print(f"{mark} [{i:3d}] {left:<60s} | {right}", file=file)
 
 
-def build_model(name: str):
+# BatchNorm epsilon per model family (must match the flax modules so the
+# fused-BN identity synthesis is bit-exact: models/common.py::ConvBN uses
+# 1e-3, models/fastreid.py and models/facereid.py use 1e-5).
+BN_EPS = {"yolox": 1e-3, "fastreid": 1e-5, "facereid": 1e-5}
+
+
+def build_model(name: str, mini: bool = False):
     import jax.numpy as jnp
 
     from botsort_tpu.models import FaceReID, FastReIDSBS, YOLOX
+    from botsort_tpu.runtime.assets import MINI
 
+    if mini:
+        model = {"yolox": YOLOX(**MINI["detector"]),
+                 "fastreid": FastReIDSBS(**MINI["body"]),
+                 "facereid": FaceReID(**MINI["face"])}[name]
+        sample = {"yolox": jnp.zeros((1, 96, 128, 3)),
+                  "fastreid": jnp.zeros((1, 64, 32, 3)),
+                  "facereid": jnp.zeros((1, 32, 32, 3))}[name]
+        return model, sample
     model = {"yolox": YOLOX(num_classes=4, depth=1.33, width=1.25),
              "fastreid": FastReIDSBS(),
              "facereid": FaceReID()}[name]
@@ -351,6 +501,8 @@ def main(argv=None):
     parser.add_argument("--lenient", action="store_true",
                         help="on layer-count mismatch, LCS-align by shape "
                              "signature instead of aborting")
+    parser.add_argument("--mini", action="store_true",
+                        help="miniature architectures (CI smoke tests)")
     parser.add_argument("--selfcheck", action="store_true",
                         help="after import, run the flax model on a fixed "
                              "input and print output statistics (compare "
@@ -366,12 +518,14 @@ def main(argv=None):
 
     from botsort_tpu.runtime.assets import save_checkpoint
 
-    model, sample = build_model(args.model)
+    model, sample = build_model(args.model, mini=args.mini)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
 
     nodes, init = load_onnx_graph(args.onnx)
     layers = extract_onnx_layers(nodes, init)
-    flax_entries = flatten_flax_params(params)
+    # jit(init) returns a key-sorted tree; recover execution order
+    # structurally (see execution_order).
+    flax_entries = ordered_flax_entries(model, sample, params)
 
     if args.dump_manifest:
         dump_manifest(flax_entries, layers)
@@ -382,7 +536,8 @@ def main(argv=None):
         return 2
 
     assignments, report = assign(flax_entries, layers,
-                                 strict=not args.lenient)
+                                 strict=not args.lenient,
+                                 fused_bn_eps=BN_EPS[args.model])
     for line in report:
         print(line, file=sys.stderr)
 
