@@ -369,6 +369,15 @@ def main():
         frame_step, bundle, moderate_cfg, nms_cfg, pipe_cfg, frames,
         empty_store, floor_s=floor_s, reid_bucket=16)
 
+    # The mot20_sbs_S50 384x128 body-ReID operating point (BASELINE
+    # config 5 names it; the reference pre-builds TRT engines for ReID
+    # heights 256..384, optimize_reid_tensorrt_engine.sh:9-21). Same
+    # moderate-16 scene, crops at 384x128 (1.5x the ReID pixel load).
+    pipe_384 = dataclasses.replace(pipe_cfg, body_reid_input_hw=(384, 128))
+    fps_mot20, _, _ = run_config(
+        frame_step, bundle, moderate_cfg, nms_cfg, pipe_384, frames,
+        empty_store, floor_s=floor_s, reid_bucket=16)
+
     # Multi-stream throughput: B streams batched through one chip
     # (pipeline/frame_step.py::frame_step_batched) at the moderate
     # load. (At the 50-body crowd load the chip is FLOP-bound — the
@@ -400,6 +409,7 @@ def main():
         "host_path_fps": round(fps_host, 2),
         "empty_scene_fps": round(fps_empty, 2),
         "moderate16_fps": round(fps_mod, 2),
+        "mot20_384_fps": round(fps_mot20, 2),
         "dynamic_bucket_loaded_fps": round(fps_dyn, 2),
         "batched_8stream_aggregate_fps": round(fps_batched, 2),
         "mfu": mfu,

@@ -22,6 +22,13 @@ def main(argv=None):
         "--resolutions", nargs="+", default=["1080x1920"],
         help="Source frame HxW resolutions to precompile.")
     parser.add_argument("--weights_dir", type=str, default="weights")
+    parser.add_argument(
+        "-bfem", "--body_feature_extractor_model", type=str,
+        default=None,
+        help="Body-ReID model name; its NMx3xHxW geometry selects the "
+             "crop size to precompile (e.g. the mot20_sbs_S50 384x128 "
+             "variant — the reference grinds separate TensorRT engines "
+             "per geometry, optimize_reid_tensorrt_engine.sh).")
     parser.add_argument("--mini", action="store_true")
     args = parser.parse_args(argv)
 
@@ -40,9 +47,19 @@ def main(argv=None):
     tracker_cfg = TrackerConfig() if not args.mini else TrackerConfig(
         max_tracks=16, body_feature_dim=256, face_feature_dim=256)
     nms_cfg = NMSConfig()
-    pipe_cfg = PipelineConfig() if not args.mini else PipelineConfig(
-        detector_input_hw=(96, 128), body_reid_input_hw=(64, 32),
-        face_reid_input_hw=(32, 32), max_reid_batch=4)
+    if args.mini:
+        pipe_cfg = PipelineConfig(
+            detector_input_hw=(96, 128), body_reid_input_hw=(64, 32),
+            face_reid_input_hw=(32, 32), max_reid_batch=4)
+    else:
+        from botsort_tpu.runtime.assets import (
+            DEFAULT_BODY_REID,
+            parse_body_reid_input_hw,
+        )
+
+        pipe_cfg = PipelineConfig(
+            body_reid_input_hw=parse_body_reid_input_hw(
+                args.body_feature_extractor_model or DEFAULT_BODY_REID))
 
     # The host facade dispatches static ReID-bucket programs (see
     # pipeline/host.py); pre-compile every (body, face) bucket pair it

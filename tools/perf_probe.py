@@ -182,6 +182,88 @@ def main():
                           "mfu": round(g / sec / V5E_PEAK_BF16, 4),
                           "fps": round(1 / sec, 1)}))
 
+    if "detseg" in stages:
+        # Per-segment detector bisection: each segment is its own
+        # standalone module at its real input shape, timed as its own
+        # scan program — finds WHERE the 74%-of-peak gap lives.
+        import flax.linen as nn
+
+        from botsort_tpu.models.common import (
+            ConvBN, CSPLayer, Focus, SPPBottleneck)
+        from botsort_tpu.models.yolox import (
+            PAFPN, DecoupledHead, decode_outputs)
+
+        def seg_time(name, make_mod, in_shape, out_slice):
+            mod = make_mod()
+            params = jax.jit(mod.init)(jax.random.PRNGKey(0),
+                                       jnp.zeros(in_shape))
+            x = jnp.asarray(rng.uniform(0, 1, (args.k,) + in_shape[1:]),
+                            jnp.float32)
+            sec = time_scan(
+                lambda p, c, f: (c, out_slice(mod.apply(p, f[None]))),
+                params, jnp.zeros(()), x, args.k)
+            g = model_conv_flops(mod, jnp.zeros(in_shape))
+            print(json.dumps({
+                "stage": name, "ms": round(sec * 1e3, 3),
+                "gflops": round(g / 1e9, 1),
+                "mfu": round(g / sec / V5E_PEAK_BF16, 4),
+            }))
+
+        class Stage(nn.Module):
+            feats: int
+            n: int
+            spp: bool = False
+
+            @nn.compact
+            def __call__(self, x):
+                x = ConvBN(self.feats, 3, 2)(x)
+                if self.spp:
+                    x = SPPBottleneck(self.feats)(x)
+                return CSPLayer(self.feats, self.n,
+                                shortcut=not self.spp)(x)
+
+        class FPNWrap(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                h, w = x.shape[1], x.shape[2]
+                c3 = ConvBN(320, 1, 1)(x)
+                c4 = ConvBN(640, 3, 2)(c3)
+                c5 = ConvBN(1280, 3, 2)(c4)
+                return PAFPN(1.33, 1.25)((c3, c4, c5))
+
+        class HeadWrap(nn.Module):
+            decode: bool = False
+
+            @nn.compact
+            def __call__(self, x):
+                n3 = ConvBN(320, 1, 1)(x)
+                n4 = ConvBN(640, 3, 2)(n3)
+                n5 = ConvBN(1280, 3, 2)(n4)
+                outs = DecoupledHead(4, 1.25)((n3, n4, n5))
+                if self.decode:
+                    return decode_outputs(outs, 4)[0]
+                return outs[0]
+
+        seg_time("det_stem_focus", lambda: Focus(80, 3),
+                 (1, 480, 640, 3), lambda y: y[0, ::37, ::41, 0])
+        seg_time("det_dark2", lambda: Stage(160, 4),
+                 (1, 240, 320, 80), lambda y: y[0, ::29, ::31, 0])
+        seg_time("det_dark3", lambda: Stage(320, 12),
+                 (1, 120, 160, 160), lambda y: y[0, ::17, ::19, 0])
+        seg_time("det_dark4", lambda: Stage(640, 12),
+                 (1, 60, 80, 320), lambda y: y[0, ::7, ::11, 0])
+        seg_time("det_dark5", lambda: Stage(1280, 4, spp=True),
+                 (1, 30, 40, 640), lambda y: y[0, ::5, ::7, 0])
+        # FPN/head wrappers add small feeder convs (counted in their
+        # FLOPs) so each runs standalone from one input tensor.
+        seg_time("det_pafpn_plus_feeders", lambda: FPNWrap(),
+                 (1, 60, 80, 320), lambda y: y[0][0, ::7, ::11, 0])
+        seg_time("det_head_plus_feeders", lambda: HeadWrap(),
+                 (1, 60, 80, 320), lambda y: y[0, ::7, ::11, 0])
+        seg_time("det_head_decode_plus_feeders",
+                 lambda: HeadWrap(decode=True),
+                 (1, 60, 80, 320), lambda y: y[0, ::531, 0])
+
     if "resize" in stages:
         # The per-frame 1080p -> detector-input preprocessing.
         frames = jnp.asarray(
