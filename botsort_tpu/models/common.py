@@ -124,14 +124,38 @@ class SPPBottleneck(nn.Module):
 
 
 class Focus(nn.Module):
-    """Space-to-depth stem: 4x subsampled pixel phases stacked on channels."""
+    """YOLOX stem. Reference semantics: 4x subsampled pixel phases
+    stacked on channels (space-to-depth), then a 3x3 conv on 12
+    channels.
+
+    fold=True (default) runs the mathematically IDENTICAL single 6x6
+    stride-2 convolution on the raw 3 channels instead: output (i, j)
+    of the space-to-depth 3x3 conv reads input rows 2i-2..2i+3 / cols
+    2j-2..2j+3 — exactly a 6x6/s2/pad-2 window — and the 3x3x12 kernel
+    maps bijectively onto 6x6x3 (tools/import_onnx.py::
+    focus_weight_to_conv6 converts the reference's exported weights;
+    tests/test_focus_fold.py proves equivalence). Same FLOPs, but no
+    4-way strided-slice + concat materialization of the full frame in
+    HBM, and XLA sees one plain strided conv. (YOLOv5 made the same
+    swap on GPUs.)
+    """
 
     features: int
     kernel: int = 3
+    fold: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
+        if self.fold:
+            if self.kernel != 3:
+                raise ValueError("folded Focus assumes the 3x3 kernel")
+            x = nn.Conv(self.features, (6, 6), strides=(2, 2),
+                        padding=((2, 2), (2, 2)), use_bias=False,
+                        dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=True, momentum=0.97,
+                             epsilon=1e-3, dtype=self.dtype)(x)
+            return nn.silu(x)
         tl = x[:, 0::2, 0::2, :]
         bl = x[:, 1::2, 0::2, :]
         tr = x[:, 0::2, 1::2, :]

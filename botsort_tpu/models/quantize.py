@@ -226,14 +226,22 @@ class QuantizedModule:
             return self.module.apply(params, *args, **kwargs)
 
 
-def quantize_module(module: nn.Module, params, batches: Iterable[Any]
-                    ) -> Tuple[QuantizedModule, Any]:
+def quantize_module(module: nn.Module, params, batches: Iterable[Any],
+                    path_filter=None) -> Tuple[QuantizedModule, Any]:
     """One-call flow: calibrate -> quantize kernels -> wrap.
 
     Returns (QuantizedModule, qparams) usable exactly like
     (module, params).
+
+    path_filter: optional predicate over conv module paths — convs it
+    rejects stay bf16. Lets int8 be SCOPED to regions where the MXU
+    gain beats the per-layer requantization cost (e.g. mid-network
+    stages only; docs/PERF.md measures full-model int8 net-negative on
+    v5e/XLA today).
     """
     amax = calibrate(module, params, batches)
+    if path_filter is not None:
+        amax = {p: v for p, v in amax.items() if path_filter(p)}
     qparams, w_scales = quantize_params(module, params, amax)
     return QuantizedModule(module, amax, w_scales), qparams
 

@@ -161,8 +161,13 @@ def decode_outputs(level_outputs: Sequence[jnp.ndarray],
         gx = jnp.arange(w, dtype=jnp.float32)[None, :]
         cx = (out[..., 0] + gx) * stride
         cy = (out[..., 1] + gy) * stride
-        bw = jnp.exp(out[..., 2]) * stride
-        bh = jnp.exp(out[..., 3]) * stride
+        # exp clamp: keeps garbage logits (random-init runs, corrupted
+        # weights) from overflowing to inf boxes, whose inf-inf
+        # arithmetic poisons downstream NMS/KF with NaNs. e^20*stride
+        # is ~10^10 px — unreachable by any trained model, so this is
+        # identity in production.
+        bw = jnp.exp(jnp.minimum(out[..., 2], 20.0)) * stride
+        bh = jnp.exp(jnp.minimum(out[..., 3], 20.0)) * stride
         tlbr = jnp.stack(
             [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1)
         obj = nn.sigmoid(out[..., 4:5])

@@ -130,7 +130,12 @@ def update(
     a = cov[..., 0]
     b = cov[..., 1]
     c = cov[..., 2]
-    inv_s = 1.0 / s_innov
+    # S == 0 only for a fully degenerate track (w == h == 0, e.g. a
+    # zero-area detection surviving the int-truncating rescale); the
+    # reference's Cholesky would fail on that same input. Guard so
+    # 0 * (1/0) cannot make NaN gains — with a, b also 0 the guarded
+    # update is an exact no-op.
+    inv_s = 1.0 / jnp.maximum(s_innov, 1e-12)
     k_p = a * inv_s
     k_v = b * inv_s
 
@@ -158,7 +163,7 @@ def gating_distance(
     """
     z_pred, s_innov = project(mean, cov)
     d = measurements_xywh - z_pred[..., None, :]
-    w = 1.0 / s_innov[..., None, :]
+    w = 1.0 / jnp.maximum(s_innov[..., None, :], 1e-12)
     n = 2 if only_position else 4
     return jnp.sum(d[..., :n] * d[..., :n] * w[..., :n], axis=-1)
 

@@ -116,3 +116,23 @@ def test_nontracked_velocity_zeroing_convention():
     np.testing.assert_allclose(
         np.asarray(m2)[0, :4], [101.0, 52.0, 20.0, 40.0], rtol=1e-6
     )
+
+
+def test_update_degenerate_zero_size_is_finite():
+    """A zero-area measurement (possible after the int-truncating
+    rescale) must not produce NaN: S==0 is guarded so the update is an
+    exact no-op on the degenerate coordinates (the reference's Cholesky
+    would fail on this input; see ops/kalman.py::update)."""
+    import jax.numpy as jnp
+
+    from botsort_tpu.ops import kalman
+
+    z = jnp.zeros((1, 4), jnp.float32)
+    mean, cov = kalman.initiate(z)
+    mean, cov = kalman.predict(mean, cov)
+    mean2, cov2 = kalman.update(mean, cov, z)
+    assert bool(jnp.isfinite(mean2).all())
+    assert bool(jnp.isfinite(cov2).all())
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean))

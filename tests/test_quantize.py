@@ -113,3 +113,51 @@ def test_frame_step_runs_quantized_bundle(qbundle):
     # A second frame reuses the jit cache (same static aux digest).
     store, res = frame_step(qbundle, store, frame, TRK, NMSC, PIPE)
     assert np.asarray(res.tracks.valid).shape == (TRK.max_tracks,)
+
+
+def test_path_filter_scopes_quantization(bundle):
+    """quantize_module(path_filter=...) must quantize exactly the
+    accepted conv paths, leaving the rest float."""
+    rng = np.random.default_rng(5)
+    calib = [fastreid_mod.preprocess(
+        jnp.asarray(rng.integers(0, 255, (2, 64, 32, 3)), jnp.float32))]
+
+    def only_stage_ge_1(p):
+        import re
+
+        m = re.search(r"SplAtBottleneck_(\d+)", p)
+        return m is not None and int(m.group(1)) >= 1
+
+    qmod, qparams = q.quantize_module(
+        bundle.body_encoder, bundle.body_params, calib,
+        path_filter=only_stage_ge_1)
+
+    def kernel_dtypes(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(kernel_dtypes(v, prefix + (k,)))
+            elif k == "kernel":
+                out["/".join(prefix)] = np.asarray(v).dtype
+        return out
+
+    dts = kernel_dtypes(qparams["params"])
+    assert any(dt == np.int8 for dt in dts.values())
+    for path, dt in dts.items():
+        if dt == np.int8:
+            assert only_stage_ge_1(path), path
+        else:
+            import re
+
+            m = re.search(r"SplAtBottleneck_(\d+)", path)
+            # 4-D conv kernels inside the accepted scope must be int8.
+            if m and int(m.group(1)) >= 1 and path in qmod.w_scales:
+                raise AssertionError(f"{path} should be int8")
+
+    # Scoped module still runs and stays close to the float model.
+    x = fastreid_mod.preprocess(
+        jnp.asarray(rng.integers(0, 255, (2, 64, 32, 3)), jnp.float32))
+    want = bundle.body_encoder.apply(bundle.body_params, x)
+    got = qmod.apply(qparams, x)
+    cos = float(np.sum(np.asarray(want) * np.asarray(got), axis=-1).min())
+    assert cos > 0.98, cos

@@ -218,6 +218,31 @@ def extract_onnx_layers(nodes, init):
     return layers
 
 
+def focus_weight_to_conv6(w_oihw: np.ndarray) -> np.ndarray:
+    """Map a Focus-stem 3x3 conv over 4C space-to-depth channels onto
+    the equivalent 6x6 stride-2 conv over the raw C channels
+    (models/common.py::Focus fold=True).
+
+    w_oihw: (O, 4C, 3, 3), phase channel blocks ordered [tl, bl, tr,
+    br] = row/col phases [(0,0), (1,0), (0,1), (1,1)] (the reference
+    stem's concat order). Returns flax HWIO (6, 6, C, O): tap (di, dj)
+    of phase (pi, pj) reads full-res offset (2(di-1)+pi, 2(dj-1)+pj)
+    relative to output pixel (2i, 2j), i.e. kernel index (2*di+pi,
+    2*dj+pj) under padding 2.
+    """
+    o, c4, kh, kw = w_oihw.shape
+    if kh != 3 or kw != 3 or c4 % 4:
+        raise ValueError(f"not a Focus conv weight: {w_oihw.shape}")
+    c = c4 // 4
+    out = np.zeros((6, 6, c, o), w_oihw.dtype)
+    for p, (pi, pj) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+        for di in range(3):
+            for dj in range(3):
+                out[2 * di + pi, 2 * dj + pj] = np.transpose(
+                    w_oihw[:, p * c:(p + 1) * c, di, dj], (1, 0))
+    return out
+
+
 def _flax_shape_of(kind, path, leaf):
     if kind == "conv":
         # flax HWIO -> the ONNX OIHW signature for comparison.
@@ -324,16 +349,29 @@ def assign(flax_entries, onnx_layers, strict=True, fused_bn_eps=None):
                 out[sub_path] = w
 
     # Convolutions: OIHW -> HWIO (grouped convs keep the transpose:
-    # ONNX (O, I/g, kH, kW) -> flax (kH, kW, I/g, O)).
+    # ONNX (O, I/g, kH, kW) -> flax (kH, kW, I/g, O)). A Focus-stem
+    # 3x3-over-4C conv meeting a flax 6x6-over-C kernel is remapped to
+    # the folded equivalent (focus_weight_to_conv6).
     conv_kernels = [(p, l) for p, l in flax_entries
                     if p.endswith("kernel") and l.ndim == 4]
     onnx_convs = [a for k, a in onnx_layers if k == "conv"]
-    take("conv", conv_kernels, onnx_convs, lambda path, arrs: (
-        [(path, np.transpose(arrs["kernel"], (2, 3, 1, 0)))]
-        + ([(path.rsplit("/", 1)[0] + "/bias", arrs["bias"])]
-           if arrs["bias"] is not None
-           and (path.rsplit("/", 1)[0] + "/bias") in flax_map
-           else [])))
+
+    def emit_conv(path, arrs):
+        w = arrs["kernel"]
+        ref = flax_map[path]
+        if (tuple(ref.shape[:2]) == (6, 6) and w.shape[2:] == (3, 3)
+                and w.shape[1] == 4 * ref.shape[2]
+                and w.shape[0] == ref.shape[3]):
+            mapped = focus_weight_to_conv6(w)
+        else:
+            mapped = np.transpose(w, (2, 3, 1, 0))
+        entries = [(path, mapped)]
+        bias_path = path.rsplit("/", 1)[0] + "/bias"
+        if arrs["bias"] is not None and bias_path in flax_map:
+            entries.append((bias_path, arrs["bias"]))
+        return entries
+
+    take("conv", conv_kernels, onnx_convs, emit_conv)
 
     # BatchNormalization: (scale, B, mean, var) -> flax BatchNorm
     # (scale, bias, batch_stats mean/var). Flax stores these as four

@@ -264,6 +264,181 @@ def main():
                  lambda: HeadWrap(decode=True),
                  (1, 60, 80, 320), lambda y: y[0, ::531, 0])
 
+    if "int8scope" in stages:
+        # VERDICT #7: scope int8 to the mid-network (bottlenecks >= 3,
+        # i.e. stages 2-4) where requant overhead amortizes over big
+        # convs, vs full-model int8 vs bf16 — body encoder b64.
+        import re as _re
+
+        from botsort_tpu.models import fastreid as fastreid_mod
+        from botsort_tpu.models.quantize import quantize_module
+
+        bsz = 64
+        calib = [
+            fastreid_mod.preprocess(jnp.asarray(
+                rng.integers(0, 255, (8, 256, 128, 3)), jnp.float32))
+            for _ in range(3)]
+        x = jnp.asarray(rng.uniform(-2, 2, (args.k, bsz, 256, 128, 3)),
+                        jnp.float32)
+        g = model_conv_flops(bundle.body_encoder,
+                             jnp.zeros((bsz, 256, 128, 3)))
+
+        def mid_filter(p):
+            m = _re.search(r"SplAtBottleneck_(\d+)", p)
+            return m is not None and int(m.group(1)) >= 3
+
+        variants = [("body_b64_bf16", bundle.body_encoder,
+                     bundle.body_params)]
+        for nm, pf in (("body_b64_int8_full", None),
+                       ("body_b64_int8_mid", mid_filter)):
+            qmod, qparams = quantize_module(
+                bundle.body_encoder, bundle.body_params, calib,
+                path_filter=pf)
+            variants.append((nm, qmod, qparams))
+        for nm, mod, prm in variants:
+            sec = time_scan(
+                lambda p, c, f, _m=mod: (c, _m.apply(p, f)[:, :4]),
+                prm, jnp.zeros(()), x, args.k)
+            print(json.dumps({"stage": nm, "ms": round(sec * 1e3, 3),
+                              "gflops": round(g / 1e9, 1),
+                              "mfu": round(g / sec / V5E_PEAK_BF16, 4)}))
+
+    if "bodyseg" in stages:
+        # ResNeSt-50 (body ReID) per-segment bisection at b=64 crops
+        # 256x128 + split-attention micro-variants.
+        import flax.linen as nn
+
+        from botsort_tpu.models.fastreid import (
+            ResNeSt50, SplAtBottleneck, _ConvBN)
+
+        def seg_time(name, mod, in_shape, out_slice):
+            params = jax.jit(mod.init)(jax.random.PRNGKey(0),
+                                       jnp.zeros(in_shape))
+            x = jnp.asarray(rng.uniform(0, 1, (args.k,) + in_shape[1:]),
+                            jnp.float32)
+            sec = time_scan(
+                lambda p, c, f: (c, out_slice(mod.apply(p, f))),
+                params, jnp.zeros(()), x, args.k)
+            g = model_conv_flops(mod, jnp.zeros(in_shape))
+            print(json.dumps({
+                "stage": name, "ms": round(sec * 1e3, 3),
+                "gflops": round(g / 1e9, 1),
+                "mfu": round(g / sec / V5E_PEAK_BF16, 4),
+            }))
+
+        b = 64
+
+        class Stem(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = _ConvBN(32, 3, 2)(x)
+                x = _ConvBN(32, 3, 1)(x)
+                x = _ConvBN(64, 3, 1)(x)
+                return nn.max_pool(x, (3, 3), strides=(2, 2),
+                                   padding=((1, 1), (1, 1)))
+
+        class StageN(nn.Module):
+            width: int
+            blocks: int
+            stride: int
+
+            @nn.compact
+            def __call__(self, x):
+                for i in range(self.blocks):
+                    x = SplAtBottleneck(
+                        self.width,
+                        stride=self.stride if i == 0 else 1,
+                        downsample=(i == 0))(x)
+                return x
+
+        seg_time("body_stem", Stem(), (b, 256, 128, 3),
+                 lambda y: y[:, ::7, ::5, 0])
+        seg_time("body_stage1", StageN(64, 3, 1), (b, 64, 32, 64),
+                 lambda y: y[:, ::7, ::5, 0])
+        seg_time("body_stage2", StageN(128, 4, 2), (b, 64, 32, 256),
+                 lambda y: y[:, ::7, ::5, 0])
+        seg_time("body_stage3", StageN(256, 6, 2), (b, 32, 16, 512),
+                 lambda y: y[:, ::5, ::3, 0])
+        seg_time("body_stage4", StageN(512, 3, 1), (b, 16, 8, 1024),
+                 lambda y: y[:, ::5, ::3, 0])
+
+        # SplAt 3x3 micro-variants at the stage-3 shape (the FLOP bulk):
+        # (a) as-built: grouped conv radix 2 -> split-attention
+        # (b) grouped conv replaced by TWO plain convs (no groups)
+        # (c) attention removed (plain 3x3, lower FLOPs — bounds the
+        #     attention block's cost)
+        class VariantA(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                from botsort_tpu.models.fastreid import SplAtConv
+
+                return SplAtConv(256)(x)
+
+        class VariantB(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                a = _ConvBN(256, 3, 1)(x)
+                c = _ConvBN(256, 3, 1)(x)
+                gap = jnp.mean(a + c, axis=(1, 2))
+                z = nn.Dense(128)(gap)
+                z = nn.BatchNorm(use_running_average=True,
+                                 epsilon=1e-5)(z)
+                z = nn.relu(z)
+                att = nn.Dense(512)(z).reshape(-1, 2, 256)
+                att = nn.softmax(att.astype(jnp.float32), axis=1).astype(
+                    a.dtype)
+                return (a * att[:, None, None, 0]
+                        + c * att[:, None, None, 1])
+
+        class VariantC(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return _ConvBN(256, 3, 1)(x)
+
+        shape3 = (b, 16, 8, 256)
+        seg_time("splat_a_grouped", VariantA(), shape3,
+                 lambda y: y[:, ::5, ::3, 0])
+        seg_time("splat_b_two_plain", VariantB(), shape3,
+                 lambda y: y[:, ::5, ::3, 0])
+        seg_time("splat_c_noattn", VariantC(), shape3,
+                 lambda y: y[:, ::5, ::3, 0])
+
+    if "stemvar" in stages:
+        # Focus-stem fold candidate: space-to-depth slicing + 3x3 conv
+        # on 12 channels vs the mathematically equivalent single 6x6
+        # stride-2 conv on 3 channels (same FLOPs; no slice/concat HBM
+        # churn). YOLOv5 made the same swap for GPUs.
+        import flax.linen as nn
+
+        from botsort_tpu.models.common import Focus
+
+        class Conv6Stem(nn.Module):
+            features: int = 80
+
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(self.features, (6, 6), strides=(2, 2),
+                            padding=((2, 2), (2, 2)), use_bias=False,
+                            dtype=jnp.bfloat16)(x)
+                x = nn.BatchNorm(use_running_average=True,
+                                 momentum=0.97, epsilon=1e-3,
+                                 dtype=jnp.bfloat16)(x)
+                return nn.silu(x)
+
+        for name, mod in (("stem_focus_slice", Focus(80, 3)),
+                          ("stem_conv6x6s2", Conv6Stem(80))):
+            params = jax.jit(mod.init)(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 480, 640, 3)))
+            x = jnp.asarray(rng.uniform(0, 255, (args.k, 480, 640, 3)),
+                            jnp.float32)
+            sec = time_scan(
+                lambda p, c, f: (c, mod.apply(p, f[None])[0, ::37, ::41, 0]),
+                params, jnp.zeros(()), x, args.k)
+            g = model_conv_flops(mod, jnp.zeros((1, 480, 640, 3)))
+            print(json.dumps({"stage": name, "ms": round(sec * 1e3, 3),
+                              "gflops": round(g / 1e9, 1),
+                              "mfu": round(g / sec / V5E_PEAK_BF16, 4)}))
+
     if "resize" in stages:
         # The per-frame 1080p -> detector-input preprocessing.
         frames = jnp.asarray(
