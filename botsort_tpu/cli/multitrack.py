@@ -88,6 +88,25 @@ def main(argv=None):
     #                  frozen last frames; their outputs are ignored and
     #                  must not inflate the reported aggregate)
     t_start = None
+    prev = None  # (frames, live flags, tracks) of the previous step
+
+    def _emit(entry):
+        p_frames, p_live, p_tracks = entry
+        for s in range(b):
+            if not p_live[s]:
+                continue
+            if writers[s] is None and not args.disable_video_writer:
+                stem = os.path.splitext(
+                    os.path.basename(args.videos[s]))[0]
+                h, w = p_frames[s].shape[:2]
+                writers[s] = make_writer(
+                    os.path.join(args.output_dir,
+                                 f"{stem}_tracked.mp4"),
+                    caps[s].get(cv2.CAP_PROP_FPS) or 30.0, (w, h))
+            draw_tracks(p_frames[s], p_tracks[s])
+            if writers[s] is not None:
+                writers[s].write(p_frames[s])
+
     try:
         while any(live):
             frames = []
@@ -108,28 +127,24 @@ def main(argv=None):
                       f"got {sorted(shapes)} (HxW).")
                 return 1
             step_live = sum(live)
-            tracks_per_stream = pipeline.update(np.stack(frames))
+            # Dispatch this step, then draw/encode the PREVIOUS step's
+            # tracks while the device computes (JAX dispatch is async;
+            # BatchedBoTSORTPipeline.update_async) — the host-side
+            # drawing + mp4 encode no longer serializes with compute.
+            handle = pipeline.update_async(np.stack(frames))
+            if prev is not None:
+                _emit(prev)
+            tracks_per_stream = handle.result()
+            prev = (list(frames), [lv for lv in live], tracks_per_stream)
             if t_start is None:
                 t_start = time.perf_counter()  # exclude first compile
             else:
                 live_frames += step_live
-            for s in range(b):
-                if not live[s]:
-                    continue
-                if writers[s] is None and not args.disable_video_writer:
-                    stem = os.path.splitext(
-                        os.path.basename(args.videos[s]))[0]
-                    h, w = frames[s].shape[:2]
-                    writers[s] = make_writer(
-                        os.path.join(args.output_dir,
-                                     f"{stem}_tracked.mp4"),
-                        caps[s].get(cv2.CAP_PROP_FPS) or 30.0, (w, h))
-                draw_tracks(frames[s], tracks_per_stream[s])
-                if writers[s] is not None:
-                    writers[s].write(frames[s])
             n += 1
             if args.max_frames and n >= args.max_frames:
                 break
+        if prev is not None:
+            _emit(prev)
     finally:
         for wtr in writers:
             if wtr is not None:

@@ -331,6 +331,19 @@ class BatchedBoTSORTPipeline:
     def update(self, frames_bgr) -> List[List[STrackView]]:
         """frames_bgr: [B, H, W, 3] uint8 (list or array; one frame per
         stream). Returns per-stream track lists."""
+        return self.update_async(frames_bgr).result()
+
+    def update_async(self, frames_bgr) -> "PendingBatch":
+        """Dispatch one batched step WITHOUT blocking on the readback.
+
+        JAX dispatch is asynchronous: the device computes this step
+        while the host keeps running — draw/encode the PREVIOUS frame's
+        tracks, then call ``.result()`` (which reads back, handles the
+        rare bucket-overflow re-run, and assembles the track lists).
+        Exactly one batch may be in flight: dispatching the next step
+        before resolving this one would commit the store before the
+        overflow check ran (``result()`` enforces nothing; callers
+        simply must resolve in order — update() does)."""
         self.frame_id += 1
         frames = jnp.asarray(np.stack(frames_bgr))
         if frames.shape[0] != self.n_streams:
@@ -340,25 +353,28 @@ class BatchedBoTSORTPipeline:
             self.stores, result = self._step(
                 self.bundle, self.stores, frames,
                 self.tracker_cfg, self.nms_cfg, self.pipe_cfg)
-            res_host = jax.device_get(result)
+            return PendingBatch(self, frames, result, None, None, None)
+        if self._last_max_live is None:
+            bucket = fbucket = self._buckets[-1]
         else:
-            if self._last_max_live is None:
-                bucket = fbucket = self._buckets[-1]
-            else:
-                bucket = self._pick_bucket(self._last_max_live)
-                need = (0 if self._last_max_live == 0 else
-                        self._last_max_face
-                        + (1 if self._last_max_face
-                           < self._last_max_live else 0))
-                fbucket = self._pick_bucket(need)
-            backup = None
-            if bucket < self._buckets[-1] or fbucket < self._buckets[-1]:
-                backup = _copy_store(self.stores)
-            self.stores, result = self._step(
-                self.bundle, self.stores, frames,
-                self.tracker_cfg, self.nms_cfg, self.pipe_cfg,
-                None, bucket, fbucket)
-            res_host = jax.device_get(result)
+            bucket = self._pick_bucket(self._last_max_live)
+            need = (0 if self._last_max_live == 0 else
+                    self._last_max_face
+                    + (1 if self._last_max_face
+                       < self._last_max_live else 0))
+            fbucket = self._pick_bucket(need)
+        backup = None
+        if bucket < self._buckets[-1] or fbucket < self._buckets[-1]:
+            backup = _copy_store(self.stores)
+        self.stores, result = self._step(
+            self.bundle, self.stores, frames,
+            self.tracker_cfg, self.nms_cfg, self.pipe_cfg,
+            None, bucket, fbucket)
+        return PendingBatch(self, frames, result, backup, bucket, fbucket)
+
+    def _resolve(self, frames, result, backup, bucket, fbucket):
+        res_host = jax.device_get(result)
+        if bucket is not None:
             max_live, max_face = self._counts(res_host)
             need = (0 if max_live == 0 else
                     max_face + (1 if max_face < max_live else 0))
@@ -378,3 +394,19 @@ class BatchedBoTSORTPipeline:
                                        self.nms_cfg, self.pipe_cfg,
                                        warn_state=self._warn[s]))
         return out
+
+
+class PendingBatch:
+    """Handle for one in-flight BatchedBoTSORTPipeline step."""
+
+    def __init__(self, pipeline, frames, result, backup, bucket, fbucket):
+        self._args = (pipeline, frames, result, backup, bucket, fbucket)
+        self._out = None
+
+    def result(self) -> List[List[STrackView]]:
+        if self._out is None:
+            p, frames, result, backup, bucket, fbucket = self._args
+            self._out = p._resolve(frames, result, backup, bucket,
+                                   fbucket)
+            self._args = None
+        return self._out

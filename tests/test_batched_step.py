@@ -80,3 +80,35 @@ def test_batched_with_per_stream_gmc():
                                  TRK, NMSC, PIPE)
     np.testing.assert_array_equal(np.asarray(res.tracks.valid),
                                   np.asarray(res2.tracks.valid))
+
+
+def test_update_async_matches_update():
+    """BatchedBoTSORTPipeline.update_async + result() must equal the
+    synchronous update() exactly (same bucket dispatch, same overflow
+    handling, same assembled tracks)."""
+    from botsort_tpu.pipeline.host import BatchedBoTSORTPipeline
+
+    bundle = build_bundle(mini=True)
+    rng = np.random.default_rng(7)
+    frames_seq = [
+        rng.integers(0, 255, (B, 120, 160, 3), dtype=np.uint8)
+        for _ in range(3)
+    ]
+    trk = TrackerConfig(max_tracks=16, body_feature_dim=256,
+                        face_feature_dim=256, det_score_threshold=0.01,
+                        track_high_thresh=0.05, track_low_thresh=0.01,
+                        new_track_thresh=0.05)
+
+    sync_p = BatchedBoTSORTPipeline(bundle, B, trk, NMSC, PIPE)
+    async_p = BatchedBoTSORTPipeline(bundle, B, trk, NMSC, PIPE)
+    for f in frames_seq:
+        want = sync_p.update(f)
+        handle = async_p.update_async(f)
+        got = handle.result()
+        assert handle.result() is got  # idempotent resolve
+        assert len(want) == len(got) == B
+        for s in range(B):
+            assert len(want[s]) == len(got[s])
+            for a, b_ in zip(want[s], got[s]):
+                assert a.track_id == b_.track_id
+                np.testing.assert_array_equal(a.tlbr, b_.tlbr)
