@@ -123,11 +123,11 @@ def main(argv=None):
     parser.add_argument("--mini", action="store_true")
     parser.add_argument(
         "--int8", action="store_true",
-        help="EXPERIMENTAL: serve detector + body ReID with int8 "
-             "convolutions (models/quantize.py). Measured NET-NEGATIVE "
-             "end-to-end on v5e/XLA today (requant + layout churn "
-             "outweigh the raw 1.6x conv rate — docs/PERF.md); useful "
-             "on backends where int8 convs fuse with requantization.")
+        help="Serve detector + body ReID with int8 convolutions scoped "
+             "to the mid-network (models/quantize.py scope='mid' — "
+             "measured ~10%% faster than bf16 for the body encoder at "
+             "b64 on v5e; full-model int8 measured net-negative there, "
+             "docs/PERF.md).")
     parser.add_argument(
         "--max_connections", type=int, default=0,
         help="Exit after serving N connections (0 = forever; testing).")

@@ -246,9 +246,34 @@ def quantize_module(module: nn.Module, params, batches: Iterable[Any],
     return QuantizedModule(module, amax, w_scales), qparams
 
 
+def _mid_scope_body(path: str) -> bool:
+    """Body-encoder int8 scope that WINS on v5e: bottleneck stages 2-4
+    only (SplAtBottleneck index >= 3). Measured b64 256x128: bf16
+    6.85 ms, int8 FULL 7.84 ms (requant/layout churn on the small
+    stem/stage-1 layers), int8 MID 6.15 ms (tools/perf_probe.py
+    --stages int8scope)."""
+    import re
+
+    m = re.search(r"SplAtBottleneck_(\d+)", path)
+    return m is not None and int(m.group(1)) >= 3
+
+
+def _mid_scope_detector(path: str) -> bool:
+    """Detector int8 scope: big mid-network convs only — skip the
+    stem, dark2 (small-channel, layout-sensitive) and the decoupled
+    heads (feed f32 decode)."""
+    if "Focus_0" in path or "DecoupledHead_0" in path:
+        return False
+    if "CSPDarknet_0/ConvBN_0/" in path or "CSPDarknet_0/CSPLayer_0/" \
+            in path:
+        return False
+    return True
+
+
 def quantize_bundle(bundle, frames: Optional[Any] = None,
                     which: Tuple[str, ...] = ("detector", "body"),
-                    pipe_cfg=None, num_calib: int = 4):
+                    pipe_cfg=None, num_calib: int = 4,
+                    scope: str = "mid"):
     """Quantize the heavy CNNs of a ModelBundle for int8 serving.
 
     frames: [K, H, W, 3] uint8 source frames used for calibration
@@ -256,6 +281,12 @@ def quantize_bundle(bundle, frames: Optional[Any] = None,
     the body encoder on preprocessed random crops — the same input
     distributions the pipeline feeds them. The face encoder stays bf16
     (depthwise MobileNet: VPU-bound, int8 conv gains nothing).
+
+    scope: "mid" (default) quantizes only the mid-network convs where
+    the MXU gain beats per-layer requantization — measured NET POSITIVE
+    on v5e for the body encoder (docs/PERF.md); "full" quantizes every
+    calibrated conv (measured net negative on v5e; useful on backends
+    that fuse requantization).
     """
     from botsort_tpu.config import PipelineConfig
     from botsort_tpu.models import fastreid as fastreid_mod
@@ -271,6 +302,9 @@ def quantize_bundle(bundle, frames: Optional[Any] = None,
     detector, det_params = bundle.detector, bundle.detector_params
     body, body_params = bundle.body_encoder, bundle.body_params
 
+    det_filter = _mid_scope_detector if scope == "mid" else None
+    body_filter = _mid_scope_body if scope == "mid" else None
+
     if "detector" in which:
         in_h, in_w = pipe_cfg.detector_input_hw
         det_batches = [
@@ -279,7 +313,8 @@ def quantize_bundle(bundle, frames: Optional[Any] = None,
             for f in frames
         ]
         detector, det_params = quantize_module(
-            bundle.detector, bundle.detector_params, det_batches)
+            bundle.detector, bundle.detector_params, det_batches,
+            path_filter=det_filter)
     if "body" in which:
         bh, bw = pipe_cfg.body_reid_input_hw
         crops = []
@@ -298,7 +333,8 @@ def quantize_bundle(bundle, frames: Optional[Any] = None,
         body_batches = [fastreid_mod.preprocess(jnp.asarray(c))
                         for c in crops]
         body, body_params = quantize_module(
-            bundle.body_encoder, bundle.body_params, body_batches)
+            bundle.body_encoder, bundle.body_params, body_batches,
+            path_filter=body_filter)
 
     return ModelBundle(
         detector=detector, detector_params=det_params,

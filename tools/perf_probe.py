@@ -303,6 +303,38 @@ def main():
                               "gflops": round(g / 1e9, 1),
                               "mfu": round(g / sec / V5E_PEAK_BF16, 4)}))
 
+    if "int8scopedet" in stages:
+        # Detector int8-mid at the batched-serving shape (b=8): skip
+        # stem/dark2/heads (models/quantize.py::_mid_scope_detector).
+        from botsort_tpu.models.quantize import (
+            _mid_scope_detector,
+            quantize_module,
+        )
+
+        bsz = 8
+        calib = [jnp.asarray(
+            rng.uniform(0, 255, (1, 480, 640, 3)), jnp.float32)
+            for _ in range(3)]
+        base = jnp.asarray(rng.uniform(0, 255, (bsz, 480, 640, 3)),
+                           jnp.float32)
+        deltas = jnp.linspace(0.0, 0.5, args.k)
+        g = model_conv_flops(bundle.detector,
+                             jnp.zeros((bsz, 480, 640, 3)))
+        variants = [("det_b8_bf16", bundle.detector,
+                     bundle.detector_params)]
+        qmod, qparams = quantize_module(
+            bundle.detector, bundle.detector_params, calib,
+            path_filter=_mid_scope_detector)
+        variants.append(("det_b8_int8_mid", qmod, qparams))
+        for nm, mod, prm in variants:
+            sec = time_scan(
+                lambda p, c, f, _m=mod: (
+                    c, _m.apply(p[0], p[1] + f)[1][:, ::531, 0]),
+                (prm, base), jnp.zeros(()), deltas, args.k)
+            print(json.dumps({"stage": nm, "ms": round(sec * 1e3, 3),
+                              "gflops": round(g / 1e9, 1),
+                              "mfu": round(g / sec / V5E_PEAK_BF16, 4)}))
+
     if "bodyseg" in stages:
         # ResNeSt-50 (body ReID) per-segment bisection at b=64 crops
         # 256x128 + split-attention micro-variants.
@@ -314,11 +346,16 @@ def main():
         def seg_time(name, mod, in_shape, out_slice):
             params = jax.jit(mod.init)(jax.random.PRNGKey(0),
                                        jnp.zeros(in_shape))
-            x = jnp.asarray(rng.uniform(0, 1, (args.k,) + in_shape[1:]),
-                            jnp.float32)
+            # One base batch + a per-step scalar delta: k full-size
+            # batches would be tens of GB at b=64; base+delta keeps the
+            # input distinct per step (no cross-step CSE) at constant
+            # memory.
+            base = jnp.asarray(rng.uniform(0, 1, in_shape), jnp.float32)
+            deltas = jnp.linspace(0.0, 0.01, args.k)
             sec = time_scan(
-                lambda p, c, f: (c, out_slice(mod.apply(p, f))),
-                params, jnp.zeros(()), x, args.k)
+                lambda p, c, f, _m=mod: (
+                    c, out_slice(_m.apply(p[0], p[1] + f))),
+                (params, base), jnp.zeros(()), deltas, args.k)
             g = model_conv_flops(mod, jnp.zeros(in_shape))
             print(json.dumps({
                 "stage": name, "ms": round(sec * 1e3, 3),
