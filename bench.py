@@ -310,7 +310,7 @@ def main():
 
     fps_loaded, compile_s, n_tracks = run_config(
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
-        empty_store, floor_s=floor_s, reid_bucket=64,
+        empty_store, floor_s=floor_s, reid_bucket=buckets[-1],
         face_bucket=face_bucket)
     if n_tracks < d_width:
         raise SystemExit(
@@ -328,7 +328,7 @@ def main():
     # tunnel round-trip amortizes across the K async dispatches.
     fps_host = run_host_path(
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
-        empty_store, floor_s=floor_s, reid_bucket=64,
+        empty_store, floor_s=floor_s, reid_bucket=buckets[-1],
         face_bucket=face_bucket)
 
     # In-program dynamic bucketing (the scan fallback when the load is
@@ -387,13 +387,23 @@ def main():
                               frames, empty_store, b=8, k=16,
                               floor_s=floor_s, reid_bucket=16)
 
-    # int8 PTQ (models/quantize.py) measured and NOT enabled here: raw
-    # s8xs8 conv rate is ~1.6x bf16 on v5e, but through XLA's real-net
-    # lowering the per-layer quantize/dequantize + (32,128)-tile layout
-    # conversions cost more than the MXU saves — measured detector b1
-    # 3.87 -> 4.68 ms, body ReID b64 7.03 -> 7.74 ms (docs/PERF.md).
-    # The path stays available (demo/serve --int8) for backends/XLA
-    # versions where int8 fuses.
+    # int8 PTQ, SCOPED to the mid-network (models/quantize.py
+    # scope="mid"): full-model int8 measured net-negative on v5e/XLA
+    # (per-layer requant + tile-layout churn on the small early
+    # layers), but restricting to body bottlenecks >= 3 measured
+    # 6.85 -> 6.15 ms at b64 (tools/perf_probe.py --stages int8scope).
+    # Reported as separate fields — the headline stays bf16 (int8 is a
+    # calibrated-accuracy tradeoff; demo/serve opt in via --int8).
+    from botsort_tpu.models.quantize import quantize_bundle
+
+    qbundle = quantize_bundle(bundle, which=("body",), pipe_cfg=pipe_cfg)
+    fps_loaded_q, _, _ = run_config(
+        frame_step, qbundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
+        empty_store, floor_s=floor_s, reid_bucket=buckets[-1],
+        face_bucket=face_bucket)
+    fps_batched_q = run_batched(qbundle, moderate_cfg, nms_cfg, pipe_cfg,
+                                frames, empty_store, b=8, k=16,
+                                floor_s=floor_s, reid_bucket=16)
 
     # v5e peak: 197 TFLOP/s bf16 (per chip).
     mfu = round(flops_frame * fps_loaded / 197e12, 4)
@@ -412,6 +422,8 @@ def main():
         "mot20_384_fps": round(fps_mot20, 2),
         "dynamic_bucket_loaded_fps": round(fps_dyn, 2),
         "batched_8stream_aggregate_fps": round(fps_batched, 2),
+        "loaded_int8mid_fps": round(fps_loaded_q, 2),
+        "batched_8stream_int8mid_fps": round(fps_batched_q, 2),
         "mfu": mfu,
         "flops_per_frame_g": round(flops_frame / 1e9, 1),
         "tunnel_floor_ms": round(floor_s * 1e3, 1),
@@ -422,7 +434,7 @@ def main():
         "notes": "device-side throughput (32-step in-program scan, best "
                  "of 5, fixed dev-tunnel dispatch round-trip "
                  "subtracted): full pipeline under load — YOLOX-X det "
-                 "+ bucketed SBS-S50 body ReID (64 crops live) + face "
+                 "+ bucketed SBS-S50 body ReID (50-crop top bucket) + face "
                  "ReID + fused cascade with live track pool, bf16 "
                  "weights (random), 1080p source frames",
     }))

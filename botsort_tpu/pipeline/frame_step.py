@@ -70,13 +70,17 @@ def _det_width(tracker_cfg: TrackerConfig, nms_cfg: NMSConfig) -> int:
 def reid_bucket_set(tracker_cfg: TrackerConfig, nms_cfg: NMSConfig,
                     pipe_cfg: PipelineConfig) -> list[int]:
     """The static ReID bucket sizes the host dispatcher picks from
-    (ascending): skip-entirely, the common small batch, the full padded
-    det width. One compiled program per (body, face) bucket pair —
-    cli/warmup.py pre-compiles them all."""
+    (ascending): skip-entirely, the common small batch, the det width.
+    One compiled program per (body, face) bucket pair — cli/warmup.py
+    pre-compiles them all.
+
+    The top bucket is the det WIDTH d (the maximum possible live
+    count), not the r-padded slot width dp: at the defaults d=50 slots
+    pad to dp=64, and a 64-crop encoder batch would spend 22% of the
+    frame's dominant stage embedding guaranteed-invalid slots."""
     d = _det_width(tracker_cfg, nms_cfg)
     r = pipe_cfg.max_reid_batch
-    dp = -(-d // r) * r
-    return sorted({0, min(r, dp), dp})
+    return sorted({0, min(r, d), d})
 
 
 def _pad_slots(arr: jnp.ndarray, dp: int, axis: int = 0,
