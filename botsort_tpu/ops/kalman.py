@@ -175,21 +175,26 @@ def apply_affine(
 
     Equivalent of the reference's ``multi_gmc`` (demo:538-554: mean' =
     kron(I4, R) mean + t; cov' = R8 cov R8^T) for the scalar-form store.
-    The position/velocity/size components transform exactly. For the
-    covariance, the similarity-transform scale s = |det R|^(1/2) is
-    applied exactly (s^2 per block); the rotation part mixes the x/y
-    blocks, which the independent-pairs form cannot represent — for the
-    small inter-frame rotations GMC produces (<~1 deg) the mixing terms
-    are O(sin^2 theta) and are dropped. mean [..., 8], cov [..., 4, 3].
+    The MEAN transforms exactly as the reference's: R is applied to all
+    four state pairs — including (w, h), which the reference rotates as
+    if it were a vector (upstream BoT-SORT does the same; at GMC's
+    <~1 deg inter-frame rotations the w/h mixing is O(sin theta) and
+    harmless, and for pure similarity transforms it reduces to the
+    natural s-scaling). For the COVARIANCE, the similarity scale
+    s = |det R|^(1/2) is applied exactly (s^2 per block); the rotation
+    part mixes the x/y blocks, which the independent-pairs form cannot
+    represent — the dropped mixing terms are O(sin^2 theta), bound
+    quantified in tests/test_gmc.py::test_apply_affine_rotation_error_bound.
+    mean [..., 8], cov [..., 4, 3].
     """
     r = affine_2x3[:, :2]
     t = affine_2x3[:, 2]
     s = jnp.sqrt(jnp.abs(r[0, 0] * r[1, 1] - r[0, 1] * r[1, 0]))
 
     pos_xy = mean[..., 0:2] @ r.T + t
-    wh = mean[..., 2:4] * s
+    wh = mean[..., 2:4] @ r.T
     vel_xy = mean[..., 4:6] @ r.T
-    vwh = mean[..., 6:8] * s
+    vwh = mean[..., 6:8] @ r.T
     new_mean = jnp.concatenate([pos_xy, wh, vel_xy, vwh], axis=-1)
     new_cov = cov * (s * s)
     return new_mean, new_cov
