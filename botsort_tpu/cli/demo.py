@@ -82,10 +82,12 @@ def build_parser() -> ArgumentParser:
              "the reference's multi_gmc is dead code — we implement it).")
     parser.add_argument(
         "--int8", action="store_true",
-        help="Serve the detector + body ReID with int8 convolutions "
-             "(post-training quantization, calibrated on the stream's "
-             "first frames; ~1.6x conv throughput on v5e — the TPU "
-             "analog of the reference's TensorRT int8 option).")
+        help="Serve the body ReID encoder with int8 convolutions scoped "
+             "to the mid-network (post-training quantization, "
+             "calibrated on the stream's first frames; measured ~10%% "
+             "faster than bf16 at b64 on v5e — the TPU analog of the "
+             "reference's TensorRT int8 option; the detector stays "
+             "bf16: int8 measured a loss there, docs/PERF.md).")
     parser.add_argument(
         "--int8_calib_frames", type=int, default=4,
         help="Frames read for int8 activation calibration.")

@@ -123,11 +123,11 @@ def main(argv=None):
     parser.add_argument("--mini", action="store_true")
     parser.add_argument(
         "--int8", action="store_true",
-        help="Serve detector + body ReID with int8 convolutions scoped "
+        help="Serve the body ReID encoder with int8 convolutions scoped "
              "to the mid-network (models/quantize.py scope='mid' — "
-             "measured ~10%% faster than bf16 for the body encoder at "
-             "b64 on v5e; full-model int8 measured net-negative there, "
-             "docs/PERF.md).")
+             "measured ~10%% faster than bf16 at b64 on v5e; the "
+             "detector stays bf16: int8 measured a loss there in every "
+             "configuration, docs/PERF.md).")
     parser.add_argument(
         "--max_connections", type=int, default=0,
         help="Exit after serving N connections (0 = forever; testing).")

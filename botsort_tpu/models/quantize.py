@@ -271,7 +271,7 @@ def _mid_scope_detector(path: str) -> bool:
 
 
 def quantize_bundle(bundle, frames: Optional[Any] = None,
-                    which: Tuple[str, ...] = ("detector", "body"),
+                    which: Tuple[str, ...] = ("body",),
                     pipe_cfg=None, num_calib: int = 4,
                     scope: str = "mid"):
     """Quantize the heavy CNNs of a ModelBundle for int8 serving.
@@ -287,6 +287,14 @@ def quantize_bundle(bundle, frames: Optional[Any] = None,
     on v5e for the body encoder (docs/PERF.md); "full" quantizes every
     calibrated conv (measured net negative on v5e; useful on backends
     that fuse requantization).
+
+    which: defaults to the BODY ENCODER ONLY — the detector measured a
+    LOSS in every int8 configuration on v5e/XLA (full b1 3.87->4.68 ms;
+    scoped-mid b8 15.2->18.1 ms, tools/perf_probe.py --stages
+    int8scopedet): post-Focus-fold it already runs at 47-56% MFU, so
+    requant overhead has no small-channel slack to reclaim. Pass
+    which=("detector", "body") to quantize it anyway on backends that
+    fuse requantization.
     """
     from botsort_tpu.config import PipelineConfig
     from botsort_tpu.models import fastreid as fastreid_mod

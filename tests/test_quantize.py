@@ -39,7 +39,19 @@ def bundle():
 def qbundle(bundle):
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, (2, 240, 320, 3), dtype=np.uint8)
-    return q.quantize_bundle(bundle, frames, pipe_cfg=PIPE)
+    # Explicit which=: the DEFAULT is body-only (detector int8 measured
+    # a loss on v5e, quantize.py docstring); these tests exercise both
+    # quantization paths regardless.
+    return q.quantize_bundle(bundle, frames, pipe_cfg=PIPE,
+                             which=("detector", "body"))
+
+
+def test_default_scope_is_body_only(bundle):
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 255, (2, 240, 320, 3), dtype=np.uint8)
+    qb = q.quantize_bundle(bundle, frames, pipe_cfg=PIPE)
+    assert not isinstance(qb.detector, q.QuantizedModule)
+    assert isinstance(qb.body_encoder, q.QuantizedModule)
 
 
 def test_single_conv_layer_close():

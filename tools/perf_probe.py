@@ -21,6 +21,7 @@ import sys
 import time
 
 import numpy as np
+from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -439,6 +440,273 @@ def main():
                  lambda y: y[:, ::5, ::3, 0])
         seg_time("splat_c_noattn", VariantC(), shape3,
                  lambda y: y[:, ::5, ::3, 0])
+
+    if "bodycum" in stages:
+        # CUMULATIVE truncations of the body encoder at b=64. The
+        # standalone per-stage segments (bodyseg) sum to ~8.7 ms while
+        # the full encoder measures ~6.9 ms — each standalone probe
+        # carries harness overhead. Deltas between successive
+        # truncations cancel it and give honest in-context attribution.
+        from botsort_tpu.models.fastreid import ResNeSt50
+
+        def cum_time(name, mod, in_shape, out_slice):
+            params = jax.jit(mod.init)(jax.random.PRNGKey(0),
+                                       jnp.zeros(in_shape))
+            base = jnp.asarray(rng.uniform(0, 1, in_shape), jnp.float32)
+            deltas = jnp.linspace(0.0, 0.01, args.k)
+            sec = time_scan(
+                lambda p, c, f, _m=mod: (
+                    c, out_slice(_m.apply(p[0], p[1] + f))),
+                (params, base), jnp.zeros(()), deltas, args.k)
+            print(json.dumps({
+                "stage": name, "ms": round(sec * 1e3, 3)}))
+            return sec
+
+        b = 64
+        shape = (b, 256, 128, 3)
+        blocks = (3, 4, 6, 3)
+        widths = (64, 128, 256, 512)
+        prev = cum_time("cum_stem", ResNeSt50(stage_blocks=(),
+                                              stage_widths=()),
+                        shape, lambda y: y[:, ::7, ::5, 0])
+        for n in range(1, 5):
+            sec = cum_time(
+                f"cum_stem_to_stage{n}",
+                ResNeSt50(stage_blocks=blocks[:n],
+                          stage_widths=widths[:n]),
+                shape, lambda y: y[:, ::7, ::5, 0])
+            print(json.dumps({"stage": f"delta_stage{n}",
+                              "ms": round((sec - prev) * 1e3, 3)}))
+            prev = sec
+
+    if "stage1var" in stages:
+        # Body stage-1 + stem rewrite candidates (the two worst body
+        # segments: ~11% MFU — small-channel convs at large spatial).
+        # All candidates are WEIGHT-EXACT remappings: ungrouping = block
+        # -diagonal zero-padded weights; im2col = the same weights
+        # reshaped to a [kh*kw*cin, cout] matmul operand.
+        import flax.linen as nn
+
+        from botsort_tpu.models.fastreid import (
+            SplAtBottleneck, SplAtConv, _ConvBN)
+
+        def seg_time(name, mod, in_shape, out_slice):
+            params = jax.jit(mod.init)(jax.random.PRNGKey(0),
+                                       jnp.zeros(in_shape))
+            base = jnp.asarray(rng.uniform(0, 1, in_shape), jnp.float32)
+            deltas = jnp.linspace(0.0, 0.01, args.k)
+            sec = time_scan(
+                lambda p, c, f, _m=mod: (
+                    c, out_slice(_m.apply(p[0], p[1] + f))),
+                (params, base), jnp.zeros(()), deltas, args.k)
+            g = model_conv_flops(mod, jnp.zeros(in_shape))
+            print(json.dumps({
+                "stage": name, "ms": round(sec * 1e3, 3),
+                "gflops": round(g / 1e9, 1),
+                "mfu": round(g / sec / V5E_PEAK_BF16, 4),
+            }))
+
+        b = 64
+
+        class Im2colConvBN(nn.Module):
+            """3x3 conv lowered explicitly to patches + one matmul."""
+            features: int
+            dtype: Any = jnp.bfloat16
+
+            @nn.compact
+            def __call__(self, x):
+                cin = x.shape[-1]
+                w = self.param(
+                    "w", nn.initializers.lecun_normal(),
+                    (9 * cin, self.features), jnp.float32)
+                pat = jax.lax.conv_general_dilated_patches(
+                    x.astype(self.dtype), (3, 3), (1, 1),
+                    ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                y = pat @ w.astype(self.dtype)
+                y = nn.BatchNorm(use_running_average=True,
+                                 epsilon=1e-5, dtype=self.dtype)(y)
+                return nn.relu(y)
+
+        class SplAtDense(nn.Module):
+            """SplAtConv with the grouped 3x3 ungrouped (dense 64->128;
+            zero-padded block-diagonal weights make it bit-equal)."""
+            features: int
+            im2col: bool = False
+            dtype: Any = jnp.bfloat16
+
+            @nn.compact
+            def __call__(self, x):
+                c, r = self.features, 2
+                if self.im2col:
+                    x = Im2colConvBN(c * r, dtype=self.dtype)(x)
+                else:
+                    x = _ConvBN(c * r, 3, 1, groups=1,
+                                dtype=self.dtype)(x)
+                bb, h, w, _ = x.shape
+                splits = x.reshape(bb, h, w, r, c)
+                gap = jnp.mean(jnp.sum(splits, axis=3), axis=(1, 2))
+                inter = max(c * r // 4, 32)
+                z = nn.Dense(inter, dtype=self.dtype)(gap)
+                z = nn.BatchNorm(use_running_average=True,
+                                 epsilon=1e-5, dtype=self.dtype)(z)
+                z = nn.relu(z)
+                atten = nn.Dense(c * r, dtype=self.dtype)(z).reshape(
+                    bb, r, c)
+                atten = nn.softmax(atten.astype(jnp.float32),
+                                   axis=1).astype(self.dtype)
+                return jnp.sum(splits * atten[:, None, None, :, :],
+                               axis=3)
+
+        shape1 = (b, 64, 32, 64)
+        seg_time("splat1_grouped", SplAtConv(64), shape1,
+                 lambda y: y[:, ::7, ::5, 0])
+        seg_time("splat1_dense", SplAtDense(64), shape1,
+                 lambda y: y[:, ::7, ::5, 0])
+        seg_time("splat1_im2col", SplAtDense(64, im2col=True), shape1,
+                 lambda y: y[:, ::7, ::5, 0])
+
+        class Stage1(nn.Module):
+            dense_splat: bool = False
+
+            @nn.compact
+            def __call__(self, x):
+                for i in range(3):
+                    if self.dense_splat:
+                        out_ch = 256
+                        y = _ConvBN(64, 1, 1)(x)
+                        y = SplAtDense(64)(y)
+                        y = _ConvBN(out_ch, 1, 1, act=False)(y)
+                        s = _ConvBN(out_ch, 1, 1, act=False)(x) \
+                            if i == 0 else x
+                        x = nn.relu(y + s)
+                    else:
+                        x = SplAtBottleneck(64, stride=1,
+                                            downsample=(i == 0))(x)
+                return x
+
+        seg_time("stage1_grouped", Stage1(), (b, 64, 32, 64),
+                 lambda y: y[:, ::7, ::5, 0])
+        seg_time("stage1_dense", Stage1(dense_splat=True),
+                 (b, 64, 32, 64), lambda y: y[:, ::7, ::5, 0])
+
+        class Stem(nn.Module):
+            im2col: bool = False
+
+            @nn.compact
+            def __call__(self, x):
+                if self.im2col:
+                    x = _ConvBN(32, 3, 2)(x)   # 3ch input: keep conv
+                    x = Im2colConvBN(32)(x)
+                    x = Im2colConvBN(64)(x)
+                else:
+                    x = _ConvBN(32, 3, 2)(x)
+                    x = _ConvBN(32, 3, 1)(x)
+                    x = _ConvBN(64, 3, 1)(x)
+                return nn.max_pool(x, (3, 3), strides=(2, 2),
+                                   padding=((1, 1), (1, 1)))
+
+        seg_time("stem_conv", Stem(), (b, 256, 128, 3),
+                 lambda y: y[:, ::7, ::5, 0])
+        seg_time("stem_im2col", Stem(im2col=True), (b, 256, 128, 3),
+                 lambda y: y[:, ::7, ::5, 0])
+
+    if "stage1pack" in stages:
+        # Hypotheses for stage-1's ~10% MFU: (a) elementwise/HBM floor
+        # at its activation shape; (b) batch-in-channels packing — 2 or
+        # 4 images concatenated on the channel axis with block-diagonal
+        # (grouped) weights fill all 128 lanes and are WEIGHT-EXACT.
+        import flax.linen as nn
+
+        from botsort_tpu.models.fastreid import SplAtBottleneck, _ConvBN
+
+        def seg_time(name, mod, in_shape, out_slice, flops_mod=None):
+            params = jax.jit(mod.init)(jax.random.PRNGKey(0),
+                                       jnp.zeros(in_shape))
+            base = jnp.asarray(rng.uniform(0, 1, in_shape), jnp.float32)
+            deltas = jnp.linspace(0.0, 0.01, args.k)
+            sec = time_scan(
+                lambda p, c, f, _m=mod: (
+                    c, out_slice(_m.apply(p[0], p[1] + f))),
+                (params, base), jnp.zeros(()), deltas, args.k)
+            g = model_conv_flops(flops_mod or mod, jnp.zeros(in_shape))
+            print(json.dumps({
+                "stage": name, "ms": round(sec * 1e3, 3),
+                "gflops": round(g / 1e9, 1),
+                "mfu": round(g / sec / V5E_PEAK_BF16, 4),
+            }))
+
+        b = 64
+
+        class EltFloor(nn.Module):
+            """One bf16 read+write round trip at the stage-1 shape."""
+            @nn.compact
+            def __call__(self, x):
+                x = x.astype(jnp.bfloat16)
+                return nn.relu(x * jnp.bfloat16(1.01) + jnp.bfloat16(0.1))
+
+        seg_time("elt_floor_64x64x32x128", EltFloor(), (b, 64, 32, 128),
+                 lambda y: y[:, ::7, ::5, 0])
+
+        class PackedSplAtBottleneck(nn.Module):
+            """SplAtBottleneck(64) with PACK images stacked channel-wise.
+
+            Every conv becomes feature_group_count=PACK x (its own
+            groups) with block-diagonal weights; the attention GAP /
+            softmax stay per-image by reshaping the pack axis out.
+            Input [B/PACK, H, W, PACK*C]."""
+            pack: int = 2
+            dtype: Any = jnp.bfloat16
+
+            @nn.compact
+            def __call__(self, x):
+                pk, c = self.pack, 64
+                bb, h, w, _ = x.shape
+                y = _ConvBN(pk * c, 1, 1, groups=pk, dtype=self.dtype)(x)
+                # SplAt 3x3 radix-2: per image 64 -> 128 in 2 groups.
+                y = _ConvBN(pk * c * 2, 3, 1, groups=pk * 2,
+                            dtype=self.dtype)(y)
+                splits = y.reshape(bb, h, w, pk, 2, c)
+                gap = jnp.mean(jnp.sum(splits, axis=4), axis=(1, 2))
+                # Per-image attention MLP (shared weights, vmapped over
+                # pack via reshape to [B*pk, C]).
+                gap2 = gap.reshape(bb * pk, c)
+                zz = nn.Dense(32, dtype=self.dtype)(gap2)
+                zz = nn.BatchNorm(use_running_average=True,
+                                  epsilon=1e-5, dtype=self.dtype)(zz)
+                zz = nn.relu(zz)
+                att = nn.Dense(2 * c, dtype=self.dtype)(zz).reshape(
+                    bb, pk, 2, c)
+                att = nn.softmax(att.astype(jnp.float32), axis=2).astype(
+                    self.dtype)
+                y = jnp.sum(splits * att[:, None, None], axis=4).reshape(
+                    bb, h, w, pk * c)
+                y = _ConvBN(pk * 256, 1, 1, groups=pk, act=False,
+                            dtype=self.dtype)(y)
+                s = _ConvBN(pk * 256, 1, 1, groups=pk, act=False,
+                            dtype=self.dtype)(x)
+                return nn.relu(y + s)
+
+        seg_time("bottleneck1_asbuilt",
+                 SplAtBottleneck(64, stride=1, downsample=True),
+                 (b, 64, 32, 64), lambda y: y[:, ::7, ::5, 0])
+        seg_time("bottleneck1_pack2", PackedSplAtBottleneck(2),
+                 (b // 2, 64, 32, 128), lambda y: y[:, ::7, ::5, 0])
+        seg_time("bottleneck1_pack4", PackedSplAtBottleneck(4),
+                 (b // 4, 64, 32, 256), lambda y: y[:, ::7, ::5, 0])
+
+        # Isolate the 3x3 grouped conv under packing.
+        class PackedConv(nn.Module):
+            pack: int = 2
+            @nn.compact
+            def __call__(self, x):
+                return _ConvBN(self.pack * 128, 3, 1,
+                               groups=self.pack * 2)(x)
+
+        seg_time("splat1_conv_pack2", PackedConv(2), (b // 2, 64, 32, 128),
+                 lambda y: y[:, ::7, ::5, 0])
+        seg_time("splat1_conv_pack4", PackedConv(4), (b // 4, 64, 32, 256),
+                 lambda y: y[:, ::7, ::5, 0])
 
     if "stemvar" in stages:
         # Focus-stem fold candidate: space-to-depth slicing + 3x3 conv
