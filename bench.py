@@ -337,14 +337,21 @@ def main():
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
         empty_store, floor_s=floor_s)
 
-    # Pipeline floor with no detections: a 0.99 det threshold guarantees
-    # an empty scene (random weights can clear the reference's 0.35
-    # default, so TrackerConfig() alone no longer isolates this); bucket
-    # 0 skips both encoders as the host facade would.
-    fps_empty, _, _ = run_config(
-        frame_step, bundle, TrackerConfig(det_score_threshold=0.99),
+    # Pipeline floor with no detections: threshold 1.01 with the strict
+    # '>' filter guarantees an empty scene — 0.99 did NOT (the top-50
+    # NMS survivors of thousands of random-weight sigmoid scores reach
+    # 1.0, so the old "empty" scene actually churned 50 garbage tracks
+    # through the solver every frame; docs/PERF.md "The garbage-
+    # detection solver load"). Bucket 0 skips both encoders as the
+    # host facade would. Guarded: aborts if any track ever goes live.
+    fps_empty, _, n_tracks_empty = run_config(
+        frame_step, bundle, TrackerConfig(det_score_threshold=1.01),
         nms_cfg, pipe_cfg, frames, empty_store, floor_s=floor_s,
         reid_bucket=0)
+    if n_tracks_empty != 0:
+        raise SystemExit(
+            f"ABORT: 'empty' config has {n_tracks_empty} live tracks — "
+            "the pipeline-floor metric would be mislabeled.")
 
     # Analytic conv/dot FLOPs under full crowd load (XLA's
     # cost_analysis() under-counts convolutions on this backend): the

@@ -177,6 +177,24 @@ def solve_masked(
     """
     cost = cost.astype(jnp.float32)
     cost_limit = jnp.asarray(cost_limit, dtype=jnp.float32)
+    # Feasibility pre-parking: a row (column) whose every valid entry
+    # exceeds cost_limit is unmatched in EVERY optimal solution of the
+    # extended square problem — if it took a real partner at cost
+    # c > L, rerouting both endpoints through the dummy region (L/2
+    # each, dummy-dummy 0) saves c - L > 0. Such rows/cols therefore
+    # behave exactly like invalid slots and are parked before the
+    # solver runs, so no augmentation (one sequential Dijkstra each)
+    # is spent on them. This is the dominant real-world case for the
+    # cascade's passes (lost tracks far from every detection, low/high
+    # score bands with no overlap) and turns the all-infeasible frame
+    # into a no-op solve. Exactness: strict '>', so a pair at exactly
+    # the limit stays live (ties there are already documented as
+    # resolve-either-way); validated by the scipy-oracle fuzz in
+    # tests/test_assignment.py and on device by bench.py's preamble.
+    valid_pair = row_valid[:, None] & col_valid[None, :]
+    feasible = valid_pair & (cost <= cost_limit)
+    row_valid = row_valid & jnp.any(feasible, axis=1)
+    col_valid = col_valid & jnp.any(feasible, axis=0)
     # No degenerate-skip cond: on this platform a lax.cond costs close
     # to its untaken branch's execution anyway (docs/PERF.md
     # "Conditionals" — with the XLA while-loop solver in the skipped
@@ -296,13 +314,13 @@ def solve_cascade_masked(
     Returns (res1, res2, res3) AssignmentResults.
 
     On TPU this is ONE Pallas launch (assignment_pallas.
-    cascade_solve_pallas): each pallas_call whose inputs depend on the
-    scan-carried track store costs ~1.8 ms/step on this platform
-    regardless of the work inside (docs/PERF.md "Conditionals"), so the
-    three chained launches were the sparse-frame bottleneck. Elsewhere
-    (CPU tests, BOTSORT_TPU_PALLAS_LAP=0) it composes three
-    solve_masked calls — the semantics oracle the kernel is tested
-    against (tests/test_cascade_solve.py).
+    cascade_solve_pallas) with infeasible rows/cols pre-parked per pass
+    (docs/PERF.md "The garbage-detection solver load": an endpoint with
+    no entry <= the pass limit is unmatched in every optimal solution,
+    so it costs zero augmentations). Elsewhere (CPU tests,
+    BOTSORT_TPU_PALLAS_LAP=0) it composes three solve_masked calls —
+    the semantics oracle the kernel is tested against
+    (tests/test_cascade_solve.py) — which pre-park identically.
     """
     use_pallas = (
         jax.default_backend() == "tpu"

@@ -174,20 +174,22 @@ def _shift_lanes(x, s: int):
 
 
 def _cascade_kernel(cost_ref, pool_ref, tracked_ref, unconf_ref,
-                    high_ref, low_ref, big_ref,
+                    high1_ref, high3_ref, low_ref, big_ref,
                     p_out, q_out, plive_out,
                     minv_ref, way_ref, used_ref, onpath_ref, u_ref, v_ref,
                     *, n_rows: int, n_cols: int, limits, max_iters: int):
     """The association cascade's THREE chained JV solves in ONE kernel.
 
-    Measured on this platform, every pallas_call whose inputs depend on
-    the scan-carried track store costs ~1.8 ms per step regardless of
-    the work inside (tools/perf_probe bisection; docs/PERF.md), so three
-    chained solve_masked launches taxed every frame ~5.5 ms. This kernel
-    runs pass 1 (pool x high, fused costs), derives the pass-2/3
+    Runs pass 1 (pool x high, fused costs), derives the pass-2/3
     row/column masks from pass 1's matching IN-KERNEL, and runs passes
     2 (unmatched-tracked x low, IoU) and 3 (unconfirmed x leftover-high)
-    back to back — one launch, one tax.
+    back to back — one launch. (Round 2 justified the fusion with a
+    "~1.8 ms per launch with store-derived inputs" measurement that
+    round 3 traced to garbage-detection solver load — docs/PERF.md
+    "The garbage-detection solver load"; one launch remains the right
+    structure, and the caller pre-parks infeasible endpoints via the
+    high1/high3/low/pool/tracked/unconf masks so all-infeasible frames
+    cost no augmentations at all.)
 
     Differences from _jv_kernel: the extended square matrix is never
     materialized — each Dijkstra pop builds its ext ROW on the fly from
@@ -216,7 +218,7 @@ def _cascade_kernel(cost_ref, pool_ref, tracked_ref, unconf_ref,
         half = limits[pass_i] / 2.0
         if pass_i == 0:
             rv = pool_ref[:, :] * lane_real_row
-            cv = high_ref[:, :] * lane_real_col
+            cv = high1_ref[:, :] * lane_real_col
         elif pass_i == 1:
             q1 = q_out[0, :, :]
             unmatched1 = jnp.where(q1 >= n_cols, 1, 0)
@@ -225,7 +227,7 @@ def _cascade_kernel(cost_ref, pool_ref, tracked_ref, unconf_ref,
         else:
             plive1 = plive_out[0, :, :]
             rv = unconf_ref[:, :] * lane_real_row
-            cv = high_ref[:, :] * (1 - plive1) * lane_real_col
+            cv = high3_ref[:, :] * (1 - plive1) * lane_real_col
         rv_shift = _shift_lanes(rv, n_cols)   # rv[l - D] at lane l
         cv_shift = _shift_lanes(cv, n_rows)   # cv[l - N] at lane l
         # Live rows of the SQUARE problem: valid real rows AND the
@@ -347,8 +349,8 @@ def _cascade_kernel(cost_ref, pool_ref, tracked_ref, unconf_ref,
         jax.lax.fori_loop(0, s_total, outer, jnp.int32(0))
 
 
-def _cascade_call_batched(costs, pool, tracked, unconf, high, low, big,
-                          n_rows: int, n_cols: int, limits,
+def _cascade_call_batched(costs, pool, tracked, unconf, high1, high3,
+                          low, big, n_rows: int, n_cols: int, limits,
                           max_iters: int, interpret: bool):
     """costs [B,3,SP,SP] f32; masks [B,1,SP] int32; big [B,1] f32 ->
     (p, q, plive) each [B,3,1,SP] int32."""
@@ -366,6 +368,7 @@ def _cascade_call_batched(costs, pool, tracked, unconf, high, low, big,
         in_specs=[
             pl.BlockSpec((None, 3, sp, sp), lambda b: (b, 0, 0, 0)),
             mask_spec, mask_spec, mask_spec, mask_spec, mask_spec,
+            mask_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(out_spec, out_spec, out_spec),
@@ -378,7 +381,7 @@ def _cascade_call_batched(costs, pool, tracked, unconf, high, low, big,
             pltpu.VMEM((1, sp), jnp.float32),   # v
         ],
         interpret=interpret,
-    )(costs, pool, tracked, unconf, high, low, big)
+    )(costs, pool, tracked, unconf, high1, high3, low, big)
 
 
 @functools.lru_cache(maxsize=None)
@@ -388,10 +391,10 @@ def _get_cascade_call(n_rows: int, n_cols: int, limits, max_iters: int,
     a B-step grid in ONE kernel launch."""
 
     @jax.custom_batching.custom_vmap
-    def call(costs, pool, tracked, unconf, high, low, big):
+    def call(costs, pool, tracked, unconf, high1, high3, low, big):
         outs = _cascade_call_batched(
             costs[None], pool[None], tracked[None], unconf[None],
-            high[None], low[None], big[None],
+            high1[None], high3[None], low[None], big[None],
             n_rows, n_cols, limits, max_iters, interpret)
         return tuple(o[0] for o in outs)
 
@@ -443,14 +446,35 @@ def cascade_solve_pallas(
     finite_max = jnp.max(jnp.abs(costs[:, :n, :d]))
     big = (finite_max + max(abs(float(x)) for x in limits) + 1.0)[None]
 
+    # Feasibility pre-parking per pass (see solve_masked): endpoints
+    # with no entry <= the pass limit are unmatched in every optimal
+    # solution, so they enter the kernel parked and cost zero
+    # augmentations. Pass-2 rows and pass-3 cols depend on pass-1's
+    # matching (derived in-kernel), so their feasibility uses the
+    # pre-pass SUPERSET masks (tracked / high) — parking stays sound
+    # (the subset's minima can only be larger); kernel-side derivation
+    # then intersects with the pass-1 outcome.
+    f1 = (pool_m[:, None] & high_m[None, :]
+          & (dists1 <= limits[0]))
+    pool_f = pool_m & jnp.any(f1, axis=1)
+    high1_f = high_m & jnp.any(f1, axis=0)
+    f2 = (tracked_m[:, None] & low_m[None, :]
+          & (iou_d <= limits[1]))
+    tracked_f = tracked_m & jnp.any(f2, axis=1)
+    low_f = low_m & jnp.any(f2, axis=0)
+    f3 = (unconf_m[:, None] & high_m[None, :]
+          & (dists3 <= limits[2]))
+    unconf_f = unconf_m & jnp.any(f3, axis=1)
+    high3_f = high_m & jnp.any(f3, axis=0)
+
     def lane(m, width):
         m = m.astype(jnp.int32)
         return jnp.pad(m, (0, sp - width))[None, :]
 
     p, q, plive = _get_cascade_call(
         n, d, tuple(float(x) for x in limits), max_iters, interpret)(
-        costs, lane(pool_m, n), lane(tracked_m, n), lane(unconf_m, n),
-        lane(high_m, d), lane(low_m, d), big)
+        costs, lane(pool_f, n), lane(tracked_f, n), lane(unconf_f, n),
+        lane(high1_f, d), lane(high3_f, d), lane(low_f, d), big)
 
     results = []
     for i in range(3):

@@ -153,10 +153,10 @@ def tracker_update(
     dists1 = jnp.minimum(iou_d, emb)
 
     # Pass-3 cost (demo:1594-1601), built up front so all three chained
-    # solves run as ONE kernel launch (solve_cascade_masked — each
-    # launch whose inputs depend on the carried store costs ~1.8 ms on
-    # this platform, docs/PERF.md; the pass-2/3 masks derive from
-    # pass 1's matching inside the kernel).
+    # solves run as ONE kernel launch (solve_cascade_masked; the
+    # pass-2/3 masks derive from pass 1's matching inside the kernel,
+    # and infeasible rows/cols are pre-parked — docs/PERF.md "The
+    # garbage-detection solver load").
     emb3 = 1.0 - jnp.maximum(0.0, body_sim)                      # demo:1599
     emb3 = jnp.where(emb3 > cfg.appearance_thresh, 1.0, emb3)
     emb3 = jnp.where(iou_d > cfg.proximity_thresh, 1.0, emb3)    # demo:1601

@@ -810,6 +810,362 @@ def main():
                           "ms": round(sec * 1e3, 3),
                           "fps": round(1 / sec, 1)}))
 
+    if "cascadewidth" in stages:
+        # tracker_update cost vs det-slot width and live load: the
+        # empty-scene bench (width 50, zero dets) is SLOWER than
+        # moderate-16 (width 16, full encoders) — localize where the
+        # width-scaling cost lives.
+        import dataclasses as _dc
+
+        from botsort_tpu.track.cascade import tracker_update
+        from botsort_tpu.track.state import empty_store
+
+        base_cfg = TrackerConfig(
+            det_score_threshold=0.2, track_high_thresh=0.15,
+            track_low_thresh=0.05, new_track_thresh=0.2)
+        for d, n_valid in [(50, 50), (50, 0), (16, 16), (16, 0)]:
+            cfg = _dc.replace(base_cfg, max_dets=d)
+            tlbr = jnp.asarray(
+                rng.uniform(0, 600, (args.k, d, 4)).astype(np.float32))
+            tlbr = tlbr.at[..., 2:].add(tlbr[..., :2])
+            scores = jnp.asarray(rng.uniform(0.2, 1, (args.k, d)),
+                                 jnp.float32)
+            valid = jnp.zeros((args.k, d), bool).at[:, :n_valid].set(True)
+            bf = jnp.asarray(rng.normal(size=(args.k, d, 2048)),
+                             jnp.float32)
+            ff = jnp.asarray(rng.normal(size=(args.k, d, 256)),
+                             jnp.float32)
+
+            def step(p, s, xs):
+                t, sc, v, b_, f_ = xs
+                s2, tr = tracker_update(s, t, sc, v, b_, f_, cfg)
+                return s2, tr.valid
+
+            sec = time_scan(step, jnp.zeros(()), empty_store(cfg),
+                            (tlbr, scores, valid, bf, ff), args.k)
+            print(json.dumps({
+                "stage": f"cascade_d{d}_live{n_valid}",
+                "ms": round(sec * 1e3, 3)}))
+
+    if "emptybisect" in stages:
+        # In-context truncation bisection of the EMPTY config (width-50
+        # slots, bucket-0 encoders): the composed program costs ~7.6 ms
+        # where its standalone stages sum to ~3.2. Each level adds one
+        # stage of the real frame_step sequence; deltas localize the
+        # composition overhead. Level "full" is the actual frame_step.
+        import dataclasses as _dc
+
+        from botsort_tpu.ops import crop as crop_mod
+        from botsort_tpu.ops import hierarchy as hier_mod
+        from botsort_tpu.ops import nms as nms_mod
+        from botsort_tpu.pipeline import frame_step as fs
+        from botsort_tpu.track.cascade import tracker_update
+        from botsort_tpu.track.state import empty_store
+
+        cfg = TrackerConfig(det_score_threshold=0.99)
+        nms_cfg, pipe_cfg = NMSConfig(), PipelineConfig()
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (args.k, 1080, 1920, 3)), jnp.uint8)
+        in_h, in_w = pipe_cfg.detector_input_hw
+
+        def build(level):
+            def step(b, s, frame_bgr):
+                src_h, src_w = frame_bgr.shape[0], frame_bgr.shape[1]
+                pdt = fs._compute_dtype(pipe_cfg)
+                det_in = jax.image.resize(
+                    frame_bgr.astype(pdt), (in_h, in_w, 3),
+                    method="linear")[None]
+                if level == "resize":
+                    return s, det_in[0, ::97, ::89, 0]
+                cb, cs = b.detector.apply(b.detector_params, det_in)
+                if level == "det":
+                    return s, cb[0, ::531, 0]
+                dets = nms_mod.multiclass_nms_dense(
+                    cb[0], cs[0],
+                    iou_threshold=nms_cfg.iou_threshold,
+                    score_threshold=nms_cfg.score_threshold,
+                    max_per_class=nms_cfg.max_boxes_per_class,
+                    pre_nms_top_k=nms_cfg.pre_nms_top_k)
+                det_boxes = fs._rescale_to_source(
+                    dets.boxes, (in_h, in_w), (src_h, src_w))
+                det_valid = dets.valid & (
+                    dets.scores > cfg.det_score_threshold)
+                if level == "nms":
+                    return s, det_boxes[0, :, 0]
+                results = hier_mod.greedy_assign_batch([
+                    (det_boxes[1], det_valid[1],
+                     det_boxes[3], det_valid[3], 1),
+                    (det_boxes[0], det_valid[0],
+                     det_boxes[1], det_valid[1], 1),
+                    (det_boxes[0], det_valid[0],
+                     det_boxes[2], det_valid[2], 2),
+                ])
+                (face_for_head,) = results[0]
+                (head_for_body,) = results[1]
+                if level == "hier":
+                    return s, head_for_body
+                d = fs._det_width(cfg, nms_cfg)
+                body_valid = det_valid[0][:d]
+                bf = jnp.zeros((d, cfg.body_feature_dim), jnp.float32)
+                ff = jnp.zeros((d, cfg.face_feature_dim), jnp.float32)
+                s2, tracks = tracker_update(
+                    s, det_boxes[0][:d], dets.scores[0][:d],
+                    body_valid, bf, ff, cfg)
+                return s2, tracks.valid
+
+            return step
+
+        for level in ("resize", "det", "nms", "hier", "cascade"):
+            sec = time_scan(build(level), bundle, empty_store(cfg),
+                            frames, args.k)
+            print(json.dumps({"stage": f"empty_{level}",
+                              "ms": round(sec * 1e3, 3)}))
+
+        def step_full(b, s, frame_bgr):
+            s2, out = fs.frame_step(b, s, frame_bgr, cfg, nms_cfg,
+                                    pipe_cfg, None, 0, 0)
+            return s2, out.tracks.valid
+
+        sec = time_scan(step_full, bundle, empty_store(cfg), frames,
+                        args.k)
+        print(json.dumps({"stage": "empty_full", "ms": round(sec * 1e3, 3)}))
+
+    if "emptyiso" in stages:
+        # Follow-ups to emptybisect's finding (tracker_update costs
+        # 4.7 ms when fed detector-derived inputs vs 0.32 standalone):
+        # (a) dummy consumer of the same det-derived inputs (is the
+        #     cost in the cascade or redistributed into the program?)
+        # (b) optimization_barrier between percep and cascade
+        # (c) XLA solver instead of the Pallas kernel
+        import dataclasses as _dc
+
+        from botsort_tpu.ops import hierarchy as hier_mod
+        from botsort_tpu.ops import nms as nms_mod
+        from botsort_tpu.pipeline import frame_step as fs
+        from botsort_tpu.track.cascade import tracker_update
+        from botsort_tpu.track.state import empty_store
+
+        cfg = TrackerConfig(det_score_threshold=0.99)
+        nms_cfg, pipe_cfg = NMSConfig(), PipelineConfig()
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (args.k, 1080, 1920, 3)), jnp.uint8)
+        in_h, in_w = pipe_cfg.detector_input_hw
+
+        def percep(b, frame_bgr):
+            src_h, src_w = frame_bgr.shape[0], frame_bgr.shape[1]
+            pdt = fs._compute_dtype(pipe_cfg)
+            det_in = jax.image.resize(
+                frame_bgr.astype(pdt), (in_h, in_w, 3),
+                method="linear")[None]
+            cb, cs = b.detector.apply(b.detector_params, det_in)
+            dets = nms_mod.multiclass_nms_dense(
+                cb[0], cs[0],
+                iou_threshold=nms_cfg.iou_threshold,
+                score_threshold=nms_cfg.score_threshold,
+                max_per_class=nms_cfg.max_boxes_per_class,
+                pre_nms_top_k=nms_cfg.pre_nms_top_k)
+            det_boxes = fs._rescale_to_source(
+                dets.boxes, (in_h, in_w), (src_h, src_w))
+            det_valid = dets.valid & (
+                dets.scores > cfg.det_score_threshold)
+            d = fs._det_width(cfg, nms_cfg)
+            return (det_boxes[0][:d], dets.scores[0][:d],
+                    det_valid[0][:d])
+
+        d = fs._det_width(cfg, nms_cfg)
+
+        def step_dummy(b, s, frame_bgr):
+            tl, sc, v = percep(b, frame_bgr)
+            out = (jnp.sum(tl) + jnp.sum(sc)
+                   + jnp.sum(v.astype(jnp.float32)))
+            return s, out
+
+        def step_casc(b, s, frame_bgr):
+            tl, sc, v = percep(b, frame_bgr)
+            bf = jnp.zeros((d, cfg.body_feature_dim), jnp.float32)
+            ff = jnp.zeros((d, cfg.face_feature_dim), jnp.float32)
+            s2, tracks = tracker_update(s, tl, sc, v, bf, ff, cfg)
+            return s2, tracks.valid
+
+        def step_casc_barrier(b, s, frame_bgr):
+            tl, sc, v = percep(b, frame_bgr)
+            tl, sc, v = jax.lax.optimization_barrier((tl, sc, v))
+            bf = jnp.zeros((d, cfg.body_feature_dim), jnp.float32)
+            ff = jnp.zeros((d, cfg.face_feature_dim), jnp.float32)
+            s2, tracks = tracker_update(s, tl, sc, v, bf, ff, cfg)
+            return s2, tracks.valid
+
+        for name, step in [("dummy_consumer", step_dummy),
+                           ("cascade", step_casc),
+                           ("cascade_barrier", step_casc_barrier)]:
+            sec = time_scan(step, bundle, empty_store(cfg), frames,
+                            args.k)
+            print(json.dumps({"stage": f"emptyiso_{name}",
+                              "ms": round(sec * 1e3, 3)}))
+
+        os.environ["BOTSORT_TPU_PALLAS_LAP"] = "0"
+        try:
+            sec = time_scan(step_casc, bundle, empty_store(cfg), frames,
+                            args.k)
+            print(json.dumps({"stage": "emptyiso_cascade_xla_solver",
+                              "ms": round(sec * 1e3, 3)}))
+        finally:
+            os.environ["BOTSORT_TPU_PALLAS_LAP"] = "1"
+
+    if "cascbisect" in stages:
+        # Truncations of tracker_update IN-COMPOSITION with percep
+        # (emptyiso found the full cascade costs +4.7 ms there vs 0.32
+        # standalone). Each level adds a chunk of the real update.
+        from botsort_tpu.ops import assignment, kalman
+        from botsort_tpu.ops import nms as nms_mod
+        from botsort_tpu.ops.boxes import (
+            iou_distance, tlbr_to_tlwh, tlwh_to_xywh, xywh_to_tlbr)
+        from botsort_tpu.pipeline import frame_step as fs
+        from botsort_tpu.track.state import (
+            LOST, TRACKED, empty_store)
+
+        cfg = TrackerConfig(det_score_threshold=0.99)
+        nms_cfg, pipe_cfg = NMSConfig(), PipelineConfig()
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (args.k, 1080, 1920, 3)), jnp.uint8)
+        in_h, in_w = pipe_cfg.detector_input_hw
+        d = fs._det_width(cfg, nms_cfg)
+
+        def percep(b, frame_bgr):
+            src_h, src_w = frame_bgr.shape[0], frame_bgr.shape[1]
+            pdt = fs._compute_dtype(pipe_cfg)
+            det_in = jax.image.resize(
+                frame_bgr.astype(pdt), (in_h, in_w, 3),
+                method="linear")[None]
+            cb, cs = b.detector.apply(b.detector_params, det_in)
+            dets = nms_mod.multiclass_nms_dense(
+                cb[0], cs[0],
+                iou_threshold=nms_cfg.iou_threshold,
+                score_threshold=nms_cfg.score_threshold,
+                max_per_class=nms_cfg.max_boxes_per_class,
+                pre_nms_top_k=nms_cfg.pre_nms_top_k)
+            det_boxes = fs._rescale_to_source(
+                dets.boxes, (in_h, in_w), (src_h, src_w))
+            det_valid = dets.valid & (
+                dets.scores > cfg.det_score_threshold)
+            return (det_boxes[0][:d], dets.scores[0][:d],
+                    det_valid[0][:d])
+
+        def build(level):
+            def step(b, store, frame_bgr):
+                det_tlbr, det_score, det_valid = percep(b, frame_bgr)
+                det_body_feat = jnp.zeros((d, cfg.body_feature_dim),
+                                          jnp.float32)
+                det_face_feat = jnp.zeros((d, cfg.face_feature_dim),
+                                          jnp.float32)
+                frame = store.frame_count + 1
+                tracked_m = (store.state == TRACKED) & store.is_activated
+                unconfirmed_m = ((store.state == TRACKED)
+                                 & ~store.is_activated)
+                lost_m = store.state == LOST
+                pool_m = tracked_m | lost_m
+                mean_z = jnp.where(
+                    (lost_m)[:, None] & (jnp.arange(8) >= 6)[None, :],
+                    0.0, store.mean)
+                mean_p, cov_p = kalman.predict(mean_z, store.cov)
+                mean = jnp.where(pool_m[:, None], mean_p, store.mean)
+                cov = jnp.where(pool_m[:, None, None], cov_p, store.cov)
+                if level == "predict":
+                    s2 = store._replace(mean=mean, cov=cov,
+                                        frame_count=frame)
+                    return s2, mean[:, 0]
+                track_tlbr = xywh_to_tlbr(mean[:, :4])
+                det_xywh = tlwh_to_xywh(tlbr_to_tlwh(det_tlbr))
+                high_m = det_valid & (det_score > cfg.track_high_thresh)
+                low_m = (det_valid
+                         & (det_score >= cfg.track_low_thresh)
+                         & (det_score <= cfg.track_high_thresh))
+                iou_d = iou_distance(track_tlbr, det_tlbr)
+                body_sim = store.body_feat @ det_body_feat.T
+                face_sim = store.face_feat @ det_face_feat.T
+                face_sim = jnp.where(face_sim > 0.99999, 0.0, face_sim)
+                body_d = 1.0 - body_sim
+                face_d = 1.0 - face_sim
+                gate = (jnp.minimum(body_d, face_d)
+                        > cfg.appearance_thresh)
+                emb = jnp.where(gate, 1.0, body_d)
+                dists1 = jnp.minimum(iou_d, emb)
+                emb3 = 1.0 - jnp.maximum(0.0, body_sim)
+                emb3 = jnp.where(emb3 > cfg.appearance_thresh, 1.0, emb3)
+                emb3 = jnp.where(iou_d > cfg.proximity_thresh, 1.0, emb3)
+                dists3 = jnp.minimum(iou_d, emb3)
+                if level == "costs":
+                    s2 = store._replace(mean=mean, cov=cov,
+                                        frame_count=frame)
+                    return s2, dists1[:, 0] + dists3[:, 0]
+                if level == "costs_all":
+                    # Force FULL materialization of every solver input
+                    # (the narrow "costs" output lets XLA dead-code most
+                    # of the matrices) — but no solver.
+                    s2 = store._replace(mean=mean, cov=cov,
+                                        frame_count=frame)
+                    out = (jnp.sum(dists1, axis=1) + jnp.sum(iou_d, axis=1)
+                           + jnp.sum(dists3, axis=1)
+                           + pool_m + tracked_m + unconfirmed_m
+                           + jnp.sum(high_m) + jnp.sum(low_m))
+                    return s2, out
+                res1, res2, res3 = assignment.solve_cascade_masked(
+                    dists1, iou_d, dists3, pool_m, tracked_m,
+                    unconfirmed_m, high_m, low_m,
+                    (cfg.match_thresh, cfg.second_match_thresh,
+                     cfg.unconfirmed_match_thresh))
+                if level == "solve":
+                    s2 = store._replace(mean=mean, cov=cov,
+                                        frame_count=frame)
+                    return s2, (res1.col_for_row + res2.col_for_row
+                                + res3.col_for_row)
+                det_for_row = jnp.where(
+                    res1.col_for_row >= 0, res1.col_for_row,
+                    jnp.where(res2.col_for_row >= 0, res2.col_for_row,
+                              res3.col_for_row))
+                matched_m = det_for_row >= 0
+                j = jnp.clip(det_for_row, 0, d - 1)
+                mean_u, cov_u = kalman.update(mean, cov, det_xywh[j])
+                mean = jnp.where(matched_m[:, None], mean_u, mean)
+                cov = jnp.where(matched_m[:, None, None], cov_u, cov)
+                body_feat = jnp.where(matched_m[:, None],
+                                      det_body_feat[j], store.body_feat)
+                s2 = store._replace(mean=mean, cov=cov,
+                                    body_feat=body_feat,
+                                    frame_count=frame)
+                return s2, mean[:, 0]
+
+            return step
+
+        for level in ("costs_all", "solve"):
+            sec = time_scan(build(level), bundle, empty_store(cfg),
+                            frames, args.k)
+            print(json.dumps({"stage": f"cascbisect_{level}",
+                              "ms": round(sec * 1e3, 3)}))
+
+    if "hierprobe" in stages:
+        from botsort_tpu.ops import hierarchy as hier_mod
+
+        for w in (50, 16):
+            boxes = jnp.asarray(
+                rng.uniform(0, 600, (args.k, 4, w, 4)).astype(np.float32))
+            boxes = boxes.at[..., 2:].add(boxes[..., :2])
+            valid = jnp.ones((args.k, 4, w), bool)
+
+            def step(p, c, xs):
+                bx, v = xs
+                res = hier_mod.greedy_assign_batch([
+                    (bx[1], v[1], bx[3], v[3], 1),
+                    (bx[0], v[0], bx[1], v[1], 1),
+                    (bx[0], v[0], bx[2], v[2], 2),
+                ])
+                return c, res[1][0]
+
+            sec = time_scan(step, jnp.zeros(()), jnp.zeros(()),
+                            (boxes, valid), args.k)
+            print(json.dumps({"stage": f"hierarchy_w{w}",
+                              "ms": round(sec * 1e3, 3)}))
+
     if "full" in stages:
         from botsort_tpu.pipeline.frame_step import frame_step
         from botsort_tpu.track.state import empty_store
