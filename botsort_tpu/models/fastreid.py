@@ -112,33 +112,71 @@ class ResNeSt50(nn.Module):
     (64, 128, 256, 512) x4 expansion, block counts (3, 4, 6, 3).
     `stage_blocks`/`stage_widths`/`stem_width` are exposed so tests can
     run a miniature trunk (CPU per-op compilation in CI is slow).
+
+    fused_stem: run the stem + stage 1 as ONE fused Pallas kernel
+    (models/fastreid_pallas.py) — the two segments are HBM-bound at
+    ~12% MFU under XLA and dominate half the encoder's time. The
+    kernel is weight-exact vs this module's params up to bf16 rounding
+    (tests/test_fastreid_pallas.py); falls back to the plain path at
+    init time or unsupported geometry. Param trees are IDENTICAL in
+    both modes (explicit names pin the compact auto-naming).
     """
 
     stage_blocks: tuple = (3, 4, 6, 3)
     stage_widths: tuple = (64, 128, 256, 512)
     stem_width: int = 32
     dtype: Any = jnp.bfloat16
+    fused_stem: bool = False
 
     @nn.compact
     def __call__(self, x):
         dt = self.dtype
         sw = self.stem_width
-        # Deep stem: 3x 3x3 convs then maxpool.
-        x = _ConvBN(sw, 3, 2, dtype=dt)(x)
-        x = _ConvBN(sw, 3, 1, dtype=dt)(x)
-        x = _ConvBN(sw * 2, 3, 1, dtype=dt)(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2),
-                        padding=((1, 1), (1, 1)))
+        use_fused = (
+            self.fused_stem
+            and not self.is_initializing()
+            and self.stage_blocks[0] == 3
+            and dt == jnp.bfloat16
+        )
+        if use_fused:
+            from botsort_tpu.models import fastreid_pallas as fsp
+            use_fused = fsp.geometry_ok(int(x.shape[1]), int(x.shape[2]))
+        start = 0
+        if use_fused:
+            from botsort_tpu.models import fastreid_pallas as fsp
+            v = self.variables
+            stem_vars = [
+                {"params": v["params"][f"_ConvBN_{i}"],
+                 "batch_stats": v["batch_stats"][f"_ConvBN_{i}"]}
+                for i in range(3)]
+            block_vars = [
+                {"params": v["params"][f"SplAtBottleneck_{i}"],
+                 "batch_stats": v["batch_stats"][f"SplAtBottleneck_{i}"]}
+                for i in range(3)]
+            x = fsp.stem_stage1(x, stem_vars, block_vars, sw,
+                                self.stage_widths[0])
+            start = 3
+        else:
+            # Deep stem: 3x 3x3 convs then maxpool.
+            x = _ConvBN(sw, 3, 2, dtype=dt, name="_ConvBN_0")(x)
+            x = _ConvBN(sw, 3, 1, dtype=dt, name="_ConvBN_1")(x)
+            x = _ConvBN(sw * 2, 3, 1, dtype=dt, name="_ConvBN_2")(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
         strides = (1, 2, 2, 1)  # last_stride=1
+        idx = 0
         for width, blocks, stride in zip(self.stage_widths,
                                          self.stage_blocks, strides):
             for i in range(blocks):
-                x = SplAtBottleneck(
-                    width,
-                    stride=stride if i == 0 else 1,
-                    downsample=(i == 0),
-                    dtype=dt,
-                )(x)
+                if idx >= start:
+                    x = SplAtBottleneck(
+                        width,
+                        stride=stride if i == 0 else 1,
+                        downsample=(i == 0),
+                        dtype=dt,
+                        name=f"SplAtBottleneck_{idx}",
+                    )(x)
+                idx += 1
         return x                                                  # [B,H/16,W/16,4*w3]
 
 
@@ -163,6 +201,7 @@ class FastReIDSBS(nn.Module):
     stage_widths: tuple = (64, 128, 256, 512)
     stem_width: int = 32
     dtype: Any = jnp.bfloat16
+    fused_stem: bool = False
 
     @nn.compact
     def __call__(self, images):
@@ -170,7 +209,8 @@ class FastReIDSBS(nn.Module):
         L2-normalized embeddings (normalization fused, as in the
         reference ONNX post-process)."""
         x = ResNeSt50(self.stage_blocks, self.stage_widths,
-                      self.stem_width, dtype=self.dtype)(
+                      self.stem_width, dtype=self.dtype,
+                      fused_stem=self.fused_stem)(
                           images.astype(self.dtype))
         feat = GeMPool()(x)
         # BNNeck (FastReID: BatchNorm1d, no classifier at inference).
