@@ -29,10 +29,24 @@ def main(argv=None):
              "crop size to precompile (e.g. the mot20_sbs_S50 384x128 "
              "variant — the reference grinds separate TensorRT engines "
              "per geometry, optimize_reid_tensorrt_engine.sh).")
+    parser.add_argument(
+        "-ep", "--execution_provider", type=str,
+        choices=["tpu", "cpu"], default="tpu",
+        help="Compute backend to warm (mirrors demo.py -ep).")
     parser.add_argument("--mini", action="store_true")
     args = parser.parse_args(argv)
 
+    import os
+
     import jax
+
+    if (args.execution_provider == "cpu"
+            or os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"):
+        # The axon TPU plugin IGNORES the JAX_PLATFORMS env var; only
+        # the config update reliably forces CPU. Without this, a
+        # subprocess warmup (e.g. tests/test_warmup_cli.py) silently
+        # seizes the real TPU and contends with any live process on it.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from botsort_tpu.config import NMSConfig, PipelineConfig, TrackerConfig

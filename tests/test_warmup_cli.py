@@ -15,10 +15,13 @@ def test_warmup_mini():
     # runs near the end of the suite, which reliably crossed the
     # threshold. A subprocess also covers the real CLI entry.
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # -ep cpu is load-bearing: the axon TPU plugin ignores the
+    # JAX_PLATFORMS env var, so without the flag this subprocess would
+    # seize the real TPU (and collide with any process using it).
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.run(
         [sys.executable, "-m", "botsort_tpu.cli.warmup", "--mini",
-         "--resolutions", "120x160"],
+         "-ep", "cpu", "--resolutions", "120x160"],
         cwd=repo, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "compiled 120x160" in proc.stdout
