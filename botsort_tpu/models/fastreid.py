@@ -29,39 +29,111 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 class _ConvBN(nn.Module):
+    """Conv + BN (+ReLU).
+
+    dense_groups: lower a grouped conv (groups>1) as ONE plain conv
+    with a block-diagonal kernel built from the same params at apply
+    time. Mathematically exact (the off-block weights are zero); on
+    TPU a small-channel grouped conv splits the MXU into per-group
+    matmuls at a fraction of the 128 lanes, while the dense form runs
+    one full-width matmul (2x the nominal FLOPs, but the FLOPs were
+    idle lanes anyway). Param tree is identical in both modes.
+    """
+
     features: int
     kernel: int = 3
     stride: int = 1
     groups: int = 1
     act: bool = True
     dtype: Any = jnp.bfloat16
+    dense_groups: bool = False
 
     @nn.compact
     def __call__(self, x):
+        import jax
+
         p = (self.kernel - 1) // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((p, p), (p, p)),
-                    feature_group_count=self.groups, use_bias=False,
-                    dtype=self.dtype)(x)
+        conv = nn.Conv(self.features, (self.kernel, self.kernel),
+                       strides=(self.stride, self.stride),
+                       padding=((p, p), (p, p)),
+                       feature_group_count=self.groups, use_bias=False,
+                       dtype=self.dtype, name="Conv_0")
+        if (self.groups > 1 and self.dense_groups
+                and not self.is_initializing()):
+            kg = self.variables["params"]["Conv_0"]["kernel"]
+            cin = x.shape[-1]
+            cg = cin // self.groups
+            fg = self.features // self.groups
+            dense = jnp.zeros(
+                (self.kernel, self.kernel, cin, self.features), kg.dtype)
+            for g in range(self.groups):
+                dense = dense.at[
+                    :, :, g * cg:(g + 1) * cg, g * fg:(g + 1) * fg].set(
+                        kg[:, :, :, g * fg:(g + 1) * fg])
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), dense.astype(self.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            x = conv(x)
         x = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
                          dtype=self.dtype)(x)
         return nn.relu(x) if self.act else x
 
 
 class SplAtConv(nn.Module):
-    """Split-attention 3x3 convolution (ResNeSt), radix 2, cardinality 1."""
+    """Split-attention 3x3 convolution (ResNeSt), radix 2, cardinality 1.
+
+    flat_attention: compute the radix softmax + weighted combine on
+    lane slices of the rank-4 conv output instead of materializing the
+    rank-5 ``(B, H, W, r, C)`` split view. Same values, same params —
+    rank-5 reshapes/broadcasts at large spatial force relayouts on TPU
+    that scale with the pixel count.
+    """
 
     features: int
     radix: int = 2
     reduction: int = 4
     dtype: Any = jnp.bfloat16
+    dense_groups: bool = False
+    flat_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
         c, r = self.features, self.radix
-        x = _ConvBN(c * r, 3, 1, groups=r, dtype=self.dtype)(x)
+        x = _ConvBN(c * r, 3, 1, groups=r, dtype=self.dtype,
+                    dense_groups=self.dense_groups)(x)
         b, h, w, _ = x.shape
+        if self.flat_attention:
+            # Lane-sliced form of the block below: channel lane order is
+            # radix-major ([radix0 C | radix1 C | ...]), so the rank-5
+            # split view's radix axis is a lane slice.
+            gap = x[..., 0:c]
+            for g in range(1, r):
+                gap = gap + x[..., g * c:(g + 1) * c]
+            gap = jnp.mean(gap, axis=(1, 2))                      # [B, C]
+            inter = max(c * r // self.reduction, 32)
+            z = nn.Dense(inter, dtype=self.dtype)(gap)
+            z = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                             dtype=self.dtype)(z)
+            z = nn.relu(z)
+            atten = nn.Dense(c * r, dtype=self.dtype)(z)
+            a = atten.astype(jnp.float32)
+            cols = [a[:, g * c:(g + 1) * c] for g in range(r)]
+            m = cols[0]
+            for col in cols[1:]:
+                m = jnp.maximum(m, col)
+            es = [jnp.exp(col - m) for col in cols]
+            tot = es[0]
+            for e in es[1:]:
+                tot = tot + e
+            out = None
+            for g in range(r):
+                w_g = (es[g] / tot).astype(self.dtype)[:, None, None, :]
+                term = x[..., g * c:(g + 1) * c] * w_g
+                out = term if out is None else out + term
+            return out
         splits = x.reshape(b, h, w, r, c)
         gap = jnp.mean(jnp.sum(splits, axis=3), axis=(1, 2))      # [B, C]
         inter = max(c * r // self.reduction, 32)
@@ -82,12 +154,16 @@ class SplAtBottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.bfloat16
+    dense_groups: bool = False
+    flat_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.width * 4
         y = _ConvBN(self.width, 1, 1, dtype=self.dtype)(x)
-        y = SplAtConv(self.width, dtype=self.dtype)(y)
+        y = SplAtConv(self.width, dtype=self.dtype,
+                      dense_groups=self.dense_groups,
+                      flat_attention=self.flat_attention)(y)
         if self.stride > 1:
             # avd: average-pool downsampling after the split-attention conv.
             y = nn.avg_pool(y, (3, 3), strides=(self.stride, self.stride),
@@ -127,6 +203,7 @@ class ResNeSt50(nn.Module):
     stem_width: int = 32
     dtype: Any = jnp.bfloat16
     fused_stem: bool = False
+    dgfa_stages: tuple = ()
 
     @nn.compact
     def __call__(self, x):
@@ -165,8 +242,9 @@ class ResNeSt50(nn.Module):
                             padding=((1, 1), (1, 1)))
         strides = (1, 2, 2, 1)  # last_stride=1
         idx = 0
-        for width, blocks, stride in zip(self.stage_widths,
-                                         self.stage_blocks, strides):
+        for si, (width, blocks, stride) in enumerate(
+                zip(self.stage_widths, self.stage_blocks, strides)):
+            dgfa = si in self.dgfa_stages
             for i in range(blocks):
                 if idx >= start:
                     x = SplAtBottleneck(
@@ -174,6 +252,8 @@ class ResNeSt50(nn.Module):
                         stride=stride if i == 0 else 1,
                         downsample=(i == 0),
                         dtype=dt,
+                        dense_groups=dgfa,
+                        flat_attention=dgfa,
                         name=f"SplAtBottleneck_{idx}",
                     )(x)
                 idx += 1
@@ -202,6 +282,7 @@ class FastReIDSBS(nn.Module):
     stem_width: int = 32
     dtype: Any = jnp.bfloat16
     fused_stem: bool = False
+    dgfa_stages: tuple = ()
 
     @nn.compact
     def __call__(self, images):
@@ -210,7 +291,8 @@ class FastReIDSBS(nn.Module):
         reference ONNX post-process)."""
         x = ResNeSt50(self.stage_blocks, self.stage_widths,
                       self.stem_width, dtype=self.dtype,
-                      fused_stem=self.fused_stem)(
+                      fused_stem=self.fused_stem,
+                      dgfa_stages=self.dgfa_stages)(
                           images.astype(self.dtype))
         feat = GeMPool()(x)
         # BNNeck (FastReID: BatchNorm1d, no classifier at inference).

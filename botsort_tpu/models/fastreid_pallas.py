@@ -29,6 +29,13 @@ bf16 rounding (the Flax path computes BN in bf16; here scale/bias apply
 in f32 before the bf16 cast). Parity: tests/test_fastreid_pallas.py
 (interpret mode on CPU vs the Flax apply).
 
+MEASURED OUTCOME (2026-08-17, v5e): a loss — full encoder b64 9.96 ms
+fused vs 6.76 plain XLA (b16 3.04 vs 2.03; --stages bodyfused). The
+pair-packing's block-diagonal matmuls waste half the MXU and the
+9-roll im2col tap construction is VPU-bound, together exceeding the
+HBM traffic saved. Kept as an opt-in for future Mosaic versions with
+strided-slice support; see docs/PERF.md "Fused Pallas stem+stage1".
+
 Reference parity context: the stem/stage-1 ops implement the same
 graph as the reference's mot17_sbs_S50 ONNX backbone head
 (demo_bottrack_onnx_tflite.py:1032-1142 consumes it); this file only
@@ -369,6 +376,13 @@ def _stem_stage1_call(p1, weights, h: int, w: int, sw: int, width: int,
             pltpu.VMEM((r2, c_out), jnp.bfloat16),             # xres
             pltpu.VMEM((r2, 4 * sw), jnp.bfloat16),            # tbuf
         ],
+        # The working set (scratch + double-buffered in/out blocks +
+        # weights) is ~17 MB at the production 256x128 geometry — just
+        # over Mosaic's default 16 MB scoped-vmem budget (observed only
+        # at b=64; b=16 compiles under the default). v5e has 128 MB of
+        # VMEM; grant the kernel 32 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(p1, *weights)
     return out

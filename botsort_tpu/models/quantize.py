@@ -324,6 +324,15 @@ def quantize_bundle(bundle, frames: Optional[Any] = None,
             bundle.detector, bundle.detector_params, det_batches,
             path_filter=det_filter)
     if "body" in which:
+        # int8 quantization intercepts flax nn.Conv calls; the dgfa
+        # dense-groups lowering bypasses nn.Conv (direct lax conv), so
+        # a dgfa stage inside the int8 scope would silently stay bf16.
+        # Scope "mid" quantizes bottlenecks >= 3 (stage index >= 1):
+        # keep dgfa only on stage 0 there — stage 1 reverts to the
+        # grouped lowering and quantizes, as measured in PERF.md.
+        if scope == "mid" and getattr(body, "dgfa_stages", ()):
+            body = body.clone(dgfa_stages=tuple(
+                s for s in body.dgfa_stages if s == 0))
         bh, bw = pipe_cfg.body_reid_input_hw
         crops = []
         for f in frames:
@@ -341,7 +350,7 @@ def quantize_bundle(bundle, frames: Optional[Any] = None,
         body_batches = [fastreid_mod.preprocess(jnp.asarray(c))
                         for c in crops]
         body, body_params = quantize_module(
-            bundle.body_encoder, bundle.body_params, body_batches,
+            body, bundle.body_params, body_batches,
             path_filter=body_filter)
 
     return ModelBundle(

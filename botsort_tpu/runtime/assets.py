@@ -138,6 +138,7 @@ def build_bundle(
     dtype: Any = jnp.bfloat16,
     fake_params: bool = False,
     cast_bf16: Optional[bool] = None,
+    dgfa: Optional[bool] = None,
 ) -> ModelBundle:
     """Construct the three models, restoring checkpoints when present.
 
@@ -147,6 +148,16 @@ def build_bundle(
     cast_bundle_bf16); None = auto (on when the backend is TPU and the
     models run bf16 anyway — numerically identical to flax's per-use
     cast, halves per-step weight traffic).
+
+    dgfa: lower the body ReID's first two stages' split-attention
+    blocks as block-diagonal dense convs + lane-sliced attention
+    (models/fastreid.py) — mathematically exact, same param tree,
+    measured -18% full-encoder time at b64 on v5e (docs/PERF.md
+    "SplAt lowering"). None = auto: on only when the backend is TPU.
+    The trick doubles the grouped convs' nominal FLOPs to fill idle
+    MXU lanes, which is a pure loss on CPU (and large dense-grouped
+    convs have triggered XLA:CPU LLVM JIT segfaults in long-lived
+    many-program processes, e.g. the full pytest suite).
     """
     if not mini:
         ensure_checkpoints(
@@ -156,7 +167,10 @@ def build_bundle(
     body_kw = MINI["body"] if mini else {}
     face_kw = MINI["face"] if mini else {}
     detector = YOLOX(dtype=dtype, **det_kw)
-    body = FastReIDSBS(dtype=dtype, **body_kw)
+    if dgfa is None:
+        dgfa = jax.default_backend() == "tpu"
+    body = FastReIDSBS(dtype=dtype,
+                       dgfa_stages=(0, 1) if dgfa else (), **body_kw)
     face = FaceReID(dtype=dtype, **face_kw)
 
     rng = jax.random.PRNGKey(seed)

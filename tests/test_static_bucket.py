@@ -32,6 +32,17 @@ PIPE = PipelineConfig(detector_input_hw=(96, 128),
 # uses the 3-way switch; static buckets {0, 4, 8}.
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_state():
+    # XLA:CPU's JIT segfaults compiling this module's batched-dispatch
+    # programs late in the full suite (hundreds of live executables;
+    # crash is in backend_compile_and_load, passes in isolation —
+    # a compiler resource cliff, not a math issue). Dropping JAX's
+    # executable/tracing caches first keeps the process under the
+    # cliff; recompiles are cheap via the persistent cache.
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="module")
 def bundle():
     return build_bundle(mini=True)

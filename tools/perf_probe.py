@@ -441,6 +441,110 @@ def main():
         seg_time("splat_c_noattn", VariantC(), shape3,
                  lambda y: y[:, ::5, ::3, 0])
 
+    if "splatvar" in stages:
+        # Exact-math SplAt lowering variants at the LOW-MFU stage
+        # geometries (stage1 11.5% MFU, stage2 34% — tools bodyseg).
+        # dg: grouped conv as block-diagonal plain conv (bit-exact);
+        # fa: rank-4 lane-sliced attention (no rank-5 reshapes).
+        import flax.linen as nn
+
+        from botsort_tpu.models.fastreid import SplAtBottleneck
+
+        class StageV(nn.Module):
+            width: int
+            blocks: int
+            stride: int
+            dg: bool = False
+            fa: bool = False
+
+            @nn.compact
+            def __call__(self, x):
+                for i in range(self.blocks):
+                    x = SplAtBottleneck(
+                        self.width,
+                        stride=self.stride if i == 0 else 1,
+                        downsample=(i == 0),
+                        dense_groups=self.dg,
+                        flat_attention=self.fa)(x)
+                return x
+
+        def seg_time(name, mod, in_shape, out_slice):
+            params = jax.jit(mod.init)(jax.random.PRNGKey(0),
+                                       jnp.zeros(in_shape))
+            base = jnp.asarray(rng.uniform(0, 1, in_shape), jnp.float32)
+            deltas = jnp.linspace(0.0, 0.01, args.k)
+            sec = time_scan(
+                lambda p, c, f, _m=mod: (
+                    c, out_slice(_m.apply(p[0], p[1] + f))),
+                (params, base), jnp.zeros(()), deltas, args.k)
+            g = model_conv_flops(mod, jnp.zeros(in_shape))
+            print(json.dumps({
+                "stage": name, "ms": round(sec * 1e3, 3),
+                "gflops": round(g / 1e9, 1),
+                "mfu": round(g / sec / V5E_PEAK_BF16, 4)}), flush=True)
+
+        b = 64
+        for dg, fa, tag in ((False, False, "asis"), (True, False, "dg"),
+                            (False, True, "fa"), (True, True, "dgfa")):
+            seg_time(f"s1_{tag}", StageV(64, 3, 1, dg, fa),
+                     (b, 64, 32, 64), lambda y: y[:, ::7, ::5, 0])
+        for dg, fa, tag in ((False, False, "asis"), (True, True, "dgfa")):
+            seg_time(f"s2_{tag}", StageV(128, 4, 2, dg, fa),
+                     (b, 64, 32, 256), lambda y: y[:, ::7, ::5, 0])
+
+        # Full encoder, production geometry, with/without dgfa on the
+        # two low-MFU stages. bundle.body_params apply unchanged (the
+        # variants are apply-time lowerings of the same param tree).
+        from botsort_tpu.models.fastreid import FastReIDSBS
+
+        for tag, kw in (("plain", {}), ("dgfa01", {"dgfa_stages": (0, 1)})):
+            model = FastReIDSBS(**kw)
+            for nb in (16, 50, 64):
+                base = jnp.asarray(
+                    rng.uniform(0, 1, (nb, 256, 128, 3)), jnp.float32)
+                deltas = jnp.linspace(0.0, 0.01, args.k)
+                sec = time_scan(
+                    lambda p, c, d, _m=model: (
+                        c, _m.apply(p[0], p[1] + d)[:, :4]),
+                    (bundle.body_params, base), jnp.zeros(()), deltas,
+                    args.k)
+                g = model_conv_flops(bundle.body_encoder,
+                                     jnp.zeros((nb, 256, 128, 3)))
+                print(json.dumps({
+                    "stage": f"bodyfull_{tag}_b{nb}",
+                    "ms": round(sec * 1e3, 3),
+                    "mfu": round(g / sec / V5E_PEAK_BF16, 4),
+                    "fps": round(1 / sec, 1)}), flush=True)
+
+    if "bodyfused" in stages:
+        # Fused stem+stage1 Pallas kernel (models/fastreid_pallas.py)
+        # vs the plain XLA path, full encoder at production geometry.
+        # Param trees are identical in both modes, so the bundle's
+        # params apply unchanged.
+        from botsort_tpu.models.fastreid import FastReIDSBS
+
+        for fused in (True, False):
+            model = FastReIDSBS(fused_stem=fused)
+            for nb in (16, 64):
+                # base + per-step scalar delta: avoids shipping
+                # k*nb*256*128*3 f32 through the tunnel (1.6 GB at
+                # k=16/nb=64 — times out the probe).
+                base = jnp.asarray(
+                    rng.uniform(0, 1, (nb, 256, 128, 3)), jnp.float32)
+                deltas = jnp.linspace(0.0, 0.01, args.k)
+                sec = time_scan(
+                    lambda p, c, d, _m=model: (
+                        c, _m.apply(p[0], p[1] + d)[:, :4]),
+                    (bundle.body_params, base), jnp.zeros(()), deltas,
+                    args.k)
+                g = model_conv_flops(bundle.body_encoder,
+                                     jnp.zeros((nb, 256, 128, 3)))
+                print(json.dumps({
+                    "stage": f"body_{'fused' if fused else 'plain'}_b{nb}",
+                    "ms": round(sec * 1e3, 3),
+                    "mfu": round(g / sec / V5E_PEAK_BF16, 4),
+                    "fps": round(1 / sec, 1)}), flush=True)
+
     if "bodycum" in stages:
         # CUMULATIVE truncations of the body encoder at b=64. The
         # standalone per-stage segments (bodyseg) sum to ~8.7 ms while
@@ -929,6 +1033,140 @@ def main():
         sec = time_scan(step_full, bundle, empty_store(cfg), frames,
                         args.k)
         print(json.dumps({"stage": "empty_full", "ms": round(sec * 1e3, 3)}))
+
+    if "loadedbisect" in stages:
+        # In-context truncation bisection of the LOADED config (50
+        # garbage dets via lowered thresholds on random weights — the
+        # bench headline scene). Deltas between levels attribute the
+        # 10.6 ms loaded frame: resize, detector(+decode), NMS, box
+        # hierarchy, body crop-gather, body encode @ bucket 50, face
+        # path @ bucket 16, cascade+KF (full - prior).
+        from botsort_tpu.models import fastreid as fastreid_mod
+        from botsort_tpu.ops import crop as crop_mod
+        from botsort_tpu.ops import hierarchy as hier_mod
+        from botsort_tpu.ops import nms as nms_mod
+        from botsort_tpu.pipeline import frame_step as fs
+        from botsort_tpu.track.cascade import tracker_update
+        from botsort_tpu.track.state import empty_store
+
+        cfg = TrackerConfig(
+            det_score_threshold=0.2, track_high_thresh=0.15,
+            track_low_thresh=0.02, new_track_thresh=0.2)
+        nms_cfg, pipe_cfg = NMSConfig(), PipelineConfig()
+        # Ship only 4 distinct frames through the tunnel (24 MB) and
+        # stack to k on DEVICE — a direct (k,1080,1920,3) host transfer
+        # is ~200 MB and stalls the tunnel for tens of minutes.
+        frame_list = [
+            jnp.asarray(rng.integers(0, 255, (1080, 1920, 3)), jnp.uint8)
+            for _ in range(4)
+        ]
+        frames = jnp.stack(frame_list * (max(args.k, 4) // 4))
+        in_h, in_w = pipe_cfg.detector_input_hw
+        d = fs._det_width(cfg, nms_cfg)
+        r = pipe_cfg.max_reid_batch
+        dp = -(-d // r) * r
+        face_bucket = 16
+
+        def build(level):
+            def step(b, s, frame_bgr):
+                src_h, src_w = frame_bgr.shape[0], frame_bgr.shape[1]
+                pdt = fs._compute_dtype(pipe_cfg)
+                det_in = jax.image.resize(
+                    frame_bgr.astype(pdt), (in_h, in_w, 3),
+                    method="linear")[None]
+                if level == "resize":
+                    return s, det_in[0, ::97, ::89, 0]
+                cb, cs = b.detector.apply(b.detector_params, det_in)
+                if level == "det":
+                    return s, cb[0, ::531, 0]
+                dets = nms_mod.multiclass_nms_dense(
+                    cb[0], cs[0],
+                    iou_threshold=nms_cfg.iou_threshold,
+                    score_threshold=nms_cfg.score_threshold,
+                    max_per_class=nms_cfg.max_boxes_per_class,
+                    pre_nms_top_k=nms_cfg.pre_nms_top_k)
+                det_boxes = fs._rescale_to_source(
+                    dets.boxes, (in_h, in_w), (src_h, src_w))
+                det_valid = dets.valid & (
+                    dets.scores > cfg.det_score_threshold)
+                if level == "nms":
+                    return s, det_boxes[0, :, 0]
+                results = hier_mod.greedy_assign_batch([
+                    (det_boxes[1], det_valid[1],
+                     det_boxes[3], det_valid[3], 1),
+                    (det_boxes[0], det_valid[0],
+                     det_boxes[1], det_valid[1], 1),
+                    (det_boxes[0], det_valid[0],
+                     det_boxes[2], det_valid[2], 2),
+                ])
+                (face_for_head,) = results[0]
+                (head_for_body,) = results[1]
+                if level == "hier":
+                    return s, head_for_body
+                body_tlbr_p = fs._pad_slots(det_boxes[0], dp)
+                body_valid = det_valid[0][:d]
+                n_live = jnp.sum(body_valid)
+                if level == "bodycrop":
+                    crops = crop_mod.crop_and_resize(
+                        frame_bgr, body_tlbr_p[:d],
+                        pipe_cfg.body_reid_input_hw, compute_dtype=pdt)
+                    return s, crops[:, ::37, ::19, 0]
+
+                def encode_body(tlbr_chunk):
+                    crops = crop_mod.crop_and_resize(
+                        frame_bgr, tlbr_chunk,
+                        pipe_cfg.body_reid_input_hw, compute_dtype=pdt)
+                    return b.body_encoder.apply(
+                        b.body_params, fastreid_mod.preprocess(crops))
+
+                body_feats = fs._encode_chunked(
+                    encode_body, body_tlbr_p, n_live, r,
+                    cfg.body_feature_dim, static_bucket=d)[:d]
+                if level == "bodyenc":
+                    return s, body_feats[:, 0]
+                hb = fs._pad_slots(head_for_body, dp, fill=-1)
+                fb = jnp.where(
+                    hb >= 0, face_for_head[jnp.clip(hb, 0, None)], -1)
+                has_face = fb >= 0
+                face_tlbr = jnp.where(
+                    has_face[:, None],
+                    det_boxes[3][jnp.clip(fb, 0, None)],
+                    jnp.zeros((dp, 4), jnp.float32))
+
+                def encode_face(tlbr_chunk):
+                    crops = crop_mod.crop_and_resize(
+                        frame_bgr, tlbr_chunk,
+                        pipe_cfg.face_reid_input_hw, compute_dtype=pdt)
+                    return b.face_encoder.apply(b.face_params, crops)
+
+                face_feats = fs._encode_faces(
+                    encode_face, face_tlbr, has_face, n_live, r,
+                    cfg.face_feature_dim, static_bucket=face_bucket)[:d]
+                if level == "faceenc":
+                    return s, face_feats[:, 0]
+                s2, tracks = tracker_update(
+                    s, det_boxes[0][:d], dets.scores[0][:d],
+                    body_valid, body_feats, face_feats, cfg)
+                return s2, tracks.valid
+
+            return step
+
+        for level in ("resize", "det", "nms", "hier", "bodycrop",
+                      "bodyenc", "faceenc", "cascade"):
+            sec = time_scan(build(level), bundle, empty_store(cfg),
+                            frames, args.k)
+            print(json.dumps({"stage": f"loaded_{level}",
+                              "ms": round(sec * 1e3, 3)}), flush=True)
+
+        def step_full(b, s, frame_bgr):
+            s2, out = fs.frame_step(b, s, frame_bgr, cfg, nms_cfg,
+                                    pipe_cfg, None, d, face_bucket)
+            return s2, out.tracks.valid
+
+        sec = time_scan(step_full, bundle, empty_store(cfg), frames,
+                        args.k)
+        print(json.dumps({"stage": "loaded_full",
+                          "ms": round(sec * 1e3, 3)}), flush=True)
 
     if "emptyiso" in stages:
         # Follow-ups to emptybisect's finding (tracker_update costs
