@@ -863,6 +863,85 @@ def main():
                           "ms": round(sec * 1e3, 3),
                           "fps": round(1 / sec, 1)}))
 
+    if "decodevar" in stages:
+        # Exact-math variants of the YOLOX decode (models/yolox.py::
+        # decode_outputs — ~0.3 ms of f32 elementwise per detseg). The
+        # as-is form slices ~20 lane-9 channels; both variants reduce
+        # op/relayout count without changing values:
+        # - lanes: transpose each level to (B, 9, HW) so every
+        #   elementwise op runs with the anchor dim in lanes.
+        # - fused: one masked nonlinearity over the full [..., 9]
+        #   tensor (XLA fuses the selects), tlbr via a constant 4x4
+        #   matmul, scores as one multiply.
+        import flax.linen as fnn
+
+        from botsort_tpu.models.yolox import STRIDES, decode_outputs
+
+        C = 4
+        shapes = [(1, 60, 80, 5 + C), (1, 30, 40, 5 + C),
+                  (1, 15, 20, 5 + C)]
+
+        def asis(levels):
+            return decode_outputs(levels, C)
+
+        def lanes(levels):
+            boxes, scores = [], []
+            for out, stride in zip(levels, STRIDES):
+                b, h, w, ch = out.shape
+                t = jnp.swapaxes(
+                    out.astype(jnp.float32).reshape(b, h * w, ch), 1, 2)
+                gy = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
+                gx = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
+                cx = (t[:, 0] + gx) * stride
+                cy = (t[:, 1] + gy) * stride
+                bw = jnp.exp(jnp.minimum(t[:, 2], 20.0)) * stride
+                bh = jnp.exp(jnp.minimum(t[:, 3], 20.0)) * stride
+                tlbr = jnp.stack([cx - bw / 2, cy - bh / 2,
+                                  cx + bw / 2, cy + bh / 2], axis=1)
+                obj = fnn.sigmoid(t[:, 4:5])
+                cls = fnn.sigmoid(t[:, 5:])
+                boxes.append(tlbr)
+                scores.append(obj * cls)
+            bx = jnp.concatenate(boxes, axis=2)
+            sc = jnp.concatenate(scores, axis=2)
+            return jnp.swapaxes(bx, 1, 2), jnp.swapaxes(sc, 1, 2)
+
+        def fused(levels):
+            boxes, scores = [], []
+            tlbr_m = jnp.array([[1, 0, 1, 0], [0, 1, 0, 1],
+                                [-0.5, 0, 0.5, 0], [0, -0.5, 0, 0.5]],
+                               jnp.float32)
+            for out, stride in zip(levels, STRIDES):
+                b, h, w, ch = out.shape
+                f = out.astype(jnp.float32)
+                idx = jnp.arange(ch)
+                gy = jnp.arange(h, dtype=jnp.float32)[:, None, None]
+                gx = jnp.arange(w, dtype=jnp.float32)[None, :, None]
+                grid = jnp.where(idx == 0, gx,
+                                 jnp.where(idx == 1, gy, 0.0))
+                v = jnp.where(
+                    idx < 2, (f + grid) * stride,
+                    jnp.where(idx < 4,
+                              jnp.exp(jnp.minimum(f, 20.0)) * stride,
+                              fnn.sigmoid(f)))
+                v = v.reshape(b, h * w, ch)
+                boxes.append(v[..., :4] @ tlbr_m)
+                scores.append(v[..., 4:5] * v[..., 5:])
+            return (jnp.concatenate(boxes, axis=1),
+                    jnp.concatenate(scores, axis=1))
+
+        base = [jnp.asarray(rng.normal(size=s), jnp.float32)
+                for s in shapes]
+        deltas = jnp.linspace(0.0, 0.01, args.k)
+        for name, fn in (("asis", asis), ("lanes", lanes),
+                         ("fused", fused)):
+            sec = time_scan(
+                lambda p, c, d, _f=fn: (
+                    c, _f([lv + d for lv in p])[0][0, ::711, 0]),
+                base, jnp.zeros(()), deltas, args.k)
+            print(json.dumps({"stage": f"decode_{name}",
+                              "ms": round(sec * 1e3, 3)}), flush=True)
+
     if "nms" in stages:
         from botsort_tpu.ops import nms as nms_mod
 
