@@ -32,7 +32,7 @@ from botsort_tpu.io.draw import draw_tracks
 from botsort_tpu.io.video import make_writer
 from botsort_tpu.runtime import assets
 from botsort_tpu.runtime.device import platform_summary, setup_compilation_cache
-from botsort_tpu.utils.colors import cyan, green
+from botsort_tpu.utils.colors import cyan, green, yellow
 
 
 def build_parser() -> ArgumentParser:
@@ -76,6 +76,13 @@ def main(argv=None):
         face_feature_dim=256)
 
     b = len(args.videos)
+    from botsort_tpu.runtime.envelope import stream_envelope_warning
+
+    import jax
+
+    env_warn = stream_envelope_warning(b, jax.default_backend())
+    if env_warn:
+        print(yellow(env_warn))
     pipeline = BatchedBoTSORTPipeline(bundle, b, tracker_cfg, NMSConfig(),
                                       pipe_cfg)
 

@@ -157,6 +157,22 @@ def main(argv=None):
                 raise KeyboardInterrupt
 
     with Server((args.host, args.port), make_handler(factory)) as srv:
+        import jax
+
+        from botsort_tpu.runtime.envelope import (
+            aggregate_fps,
+            max_realtime_streams,
+        )
+
+        if jax.default_backend() == "tpu":
+            # Connections are served sequentially (one chip, one
+            # program); the measured envelope documents how many
+            # concurrent real-time streams this chip could hold if
+            # batched via cli.multitrack instead.
+            print(f"capacity: ~{max_realtime_streams()} real-time "
+                  f"streams/chip batched via cli.multitrack "
+                  f"({aggregate_fps():.0f} FPS aggregate measured, "
+                  f"docs/PERF.md)")
         print(f"serving on {args.host}:{srv.server_address[1]}")
         try:
             srv.serve_forever()
