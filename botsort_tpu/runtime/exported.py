@@ -1,0 +1,112 @@
+"""AOT export/load of the fused frame step (jax.export, StableHLO).
+
+The reference ships pre-built TensorRT engine/profile files per GPU
+model (``ONNX_TRTENGINE_SETS``, demo_bottrack_onnx_tflite.py:33-51) so
+deployment hosts never pay the 6h45m engine grind. The TPU-native
+analog: serialize the traced-and-lowered frame step per (resolution,
+bucket pair) into a versioned artifact that a serving host deserializes
+and calls — no Python model code, no re-trace. This complements the
+persistent XLA compile cache (runtime/device.py): the cache speeds up
+the SAME machine across process restarts; an export is a *shippable*
+artifact. Weights ride separately (orbax checkpoints) and are passed as
+call arguments, so one artifact serves any fine-tune of the same
+architecture.
+
+Artifact layout (written by cli/export.py)::
+
+    exported/
+      manifest.json                 resolutions, buckets, configs, jax version
+      step_{H}x{W}_b{B}_f{F}.jaxexp serialized jax.export.Exported
+
+Call convention: ``fn(params3, store, frame_bgr) -> (store, FrameResult)``
+where ``params3 = (detector_params, body_params, face_params)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+from botsort_tpu.pipeline import frame_step as fs
+from botsort_tpu.track.cascade import TrackOutputs
+from botsort_tpu.track.state import TrackStore, empty_store
+
+_registered = False
+
+
+def _ensure_registered() -> None:
+    """Register the NamedTuple pytree containers with jax.export.
+
+    Idempotent; required on BOTH the export and the load side (the
+    deserialized calling convention refers to these by name).
+    """
+    global _registered
+    if _registered:
+        return
+    for cls in (TrackStore, TrackOutputs, fs.FrameResult):
+        try:
+            jexport.register_namedtuple_serialization(
+                cls, serialized_name=f"botsort_tpu.{cls.__name__}")
+        except ValueError:
+            pass  # this process already registered it
+    _registered = True
+
+
+def _avals(tree):
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        tree)
+
+
+def export_frame_step(
+    bundle,
+    tracker_cfg,
+    nms_cfg,
+    pipe_cfg,
+    frame_hw: Tuple[int, int],
+    reid_bucket: int,
+    face_bucket: int,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize one (resolution, bucket-pair) frame-step program.
+
+    platforms: lowering targets (default: the current backend). A TPU
+    export embeds TPU custom calls (the Pallas cascade solver) and must
+    be loaded on TPU — same contract as the reference's sm86-only
+    engine files.
+    """
+    _ensure_registered()
+    det = bundle.detector
+    body = bundle.body_encoder
+    face = bundle.face_encoder
+
+    def step(params3, store, frame_bgr):
+        b = fs.ModelBundle(det, params3[0], body, params3[1],
+                           face, params3[2])
+        return fs.frame_step(b, store, frame_bgr, tracker_cfg, nms_cfg,
+                             pipe_cfg, None, reid_bucket, face_bucket)
+
+    params3 = (bundle.detector_params, bundle.body_params,
+               bundle.face_params)
+    h, w = frame_hw
+    exp = jexport.export(jax.jit(step), platforms=platforms)(
+        _avals(params3), _avals(empty_store(tracker_cfg)),
+        jax.ShapeDtypeStruct((h, w, 3), jnp.uint8))
+    return exp.serialize()
+
+
+def load_frame_step(blob: bytes):
+    """Deserialize an exported step; returns
+    ``fn(params3, store, frame_bgr) -> (TrackStore, FrameResult)``."""
+    _ensure_registered()
+    exp = jexport.deserialize(blob)
+    return exp.call
+
+
+def artifact_name(frame_hw: Tuple[int, int], reid_bucket: int,
+                  face_bucket: int) -> str:
+    h, w = frame_hw
+    return f"step_{h}x{w}_b{reid_bucket}_f{face_bucket}.jaxexp"
