@@ -77,8 +77,13 @@ def main(argv=None):
             print(green(f"exported {name} ({len(blob) / 1e6:.1f} MB, "
                         f"{time.time() - t0:.1f}s)"))
 
+    import dataclasses
+
     manifest = {
         "format": "jax.export serialized Exported (StableHLO)",
+        "tracker_cfg": dataclasses.asdict(tracker_cfg),
+        "nms_cfg": dataclasses.asdict(nms_cfg),
+        "pipe_cfg": dataclasses.asdict(pipe_cfg),
         "call": "fn(params3, store, frame_bgr) -> (store, FrameResult); "
                 "params3 = (detector, body, face) orbax param trees",
         "platform": jax.default_backend(),

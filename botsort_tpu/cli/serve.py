@@ -84,6 +84,21 @@ def build_pipeline_factory(args):
     from botsort_tpu.runtime.device import setup_compilation_cache
 
     setup_compilation_cache()
+    if getattr(args, "artifact_dir", ""):
+        # AOT-artifact serving: deserialized StableHLO programs
+        # (cli/export.py) + checkpoint params — no model re-trace, no
+        # first-compile stall; configs come from the manifest.
+        from botsort_tpu.runtime.exported import load_pipeline
+
+        bundle = assets.build_bundle(weights_dir=args.weights_dir,
+                                     mini=args.mini)
+        params3 = (bundle.detector_params, bundle.body_params,
+                   bundle.face_params)
+
+        def factory():
+            return load_pipeline(args.artifact_dir, params3)
+
+        return factory
     bundle = assets.build_bundle(weights_dir=args.weights_dir,
                                  mini=args.mini)
     pipe_cfg = PipelineConfig() if not args.mini else PipelineConfig(
@@ -128,6 +143,11 @@ def main(argv=None):
              "measured ~10%% faster than bf16 at b64 on v5e; the "
              "detector stays bf16: int8 measured a loss there in every "
              "configuration, docs/PERF.md).")
+    parser.add_argument(
+        "--artifact_dir", type=str, default="",
+        help="Serve from AOT export artifacts (cli/export.py) instead "
+             "of live-jitted models: no re-trace, no first-compile "
+             "stall; frame resolution must match an exported artifact.")
     parser.add_argument(
         "--max_connections", type=int, default=0,
         help="Exit after serving N connections (0 = forever; testing).")

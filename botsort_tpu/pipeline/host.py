@@ -126,6 +126,18 @@ class BoTSORTPipeline:
         if self.gmc is not None:
             self.gmc.reset()
 
+    def _dispatch(self, store, frame_dev, gmc_affine, reid_bucket,
+                  face_bucket):
+        """One device step at a static bucket pair. Overridable: the
+        AOT-artifact pipeline (runtime/exported.py::ExportedPipeline)
+        swaps in deserialized programs here; every other host behavior
+        (bucket picking, overflow re-run, assembly, warnings) is
+        shared."""
+        return frame_step(
+            self.bundle, store, frame_dev, self.tracker_cfg,
+            self.nms_cfg, self.pipe_cfg, gmc_affine,
+            reid_bucket=reid_bucket, face_bucket=face_bucket)
+
     def update(self, frame_bgr: np.ndarray) -> List[STrackView]:
         """One frame. frame_bgr: [H, W, 3] uint8 (OpenCV layout)."""
         self.frame_id += 1
@@ -157,22 +169,17 @@ class BoTSORTPipeline:
                     # copy (one fused dispatch, ~1 MB) so an overflow
                     # frame can re-run with a bigger bucket.
                     backup = _copy_store(self.store)
-                self.store, result = frame_step(
-                    self.bundle, self.store, frame_dev,
-                    self.tracker_cfg, self.nms_cfg, self.pipe_cfg,
-                    gmc_affine, reid_bucket=bucket,
-                    face_bucket=fbucket)
+                self.store, result = self._dispatch(
+                    self.store, frame_dev, gmc_affine, bucket, fbucket)
                 result_host = jax.device_get(result)
                 n_live, n_face = _live_and_face_counts(
                     result_host, self._det_width)
                 if n_live > bucket or \
                         self._face_need(n_face, n_live) > fbucket:
-                    self.store, result = frame_step(
-                        self.bundle, backup, frame_dev,
-                        self.tracker_cfg, self.nms_cfg, self.pipe_cfg,
-                        gmc_affine,
-                        reid_bucket=self._pick_bucket(n_live),
-                        face_bucket=self._pick_bucket(
+                    self.store, result = self._dispatch(
+                        backup, frame_dev, gmc_affine,
+                        self._pick_bucket(n_live),
+                        self._pick_bucket(
                             self._face_need(n_face, n_live)))
                     result_host = jax.device_get(result)
                 self._last_n_live = n_live

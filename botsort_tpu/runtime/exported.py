@@ -110,3 +110,89 @@ def artifact_name(frame_hw: Tuple[int, int], reid_bucket: int,
                   face_bucket: int) -> str:
     h, w = frame_hw
     return f"step_{h}x{w}_b{reid_bucket}_f{face_bucket}.jaxexp"
+
+
+def _cfg_from_dict(cls, d):
+    """Rebuild a config dataclass from its manifest JSON dict (JSON
+    turns tuples into lists; the configs contain no true list fields)."""
+    return cls(**{k: tuple(v) if isinstance(v, list) else v
+                  for k, v in d.items()})
+
+
+def load_pipeline(artifact_dir: str, params3):
+    """A BoTSORTPipeline served from AOT artifacts instead of live jit.
+
+    A deployment host needs only: an export directory (cli/export.py)
+    and the weights (orbax / in-memory param trees; ``params3 =
+    (detector, body, face)``). The tracker, bucket dispatch, overflow
+    re-run, and track assembly are the SAME host logic as the live
+    pipeline (pipeline/host.py) — only the device step is swapped for
+    deserialized programs, one per (resolution, bucket pair). Configs
+    come from the manifest, so the runtime cannot drift from what the
+    programs were traced with.
+
+    Constraints vs the live pipeline: the frame resolution must match
+    an exported artifact, and GMC is unsupported (the programs were
+    traced with gmc_affine=None).
+    """
+    import json
+    import os
+
+    from botsort_tpu.config import (
+        NMSConfig,
+        PipelineConfig,
+        TrackerConfig,
+    )
+    from botsort_tpu.pipeline.host import BoTSORTPipeline
+
+    with open(os.path.join(artifact_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    tracker_cfg = _cfg_from_dict(TrackerConfig, manifest["tracker_cfg"])
+    nms_cfg = _cfg_from_dict(NMSConfig, manifest["nms_cfg"])
+    pipe_cfg = _cfg_from_dict(PipelineConfig, manifest["pipe_cfg"])
+    if pipe_cfg.enable_gmc:
+        raise ValueError(
+            "exported artifacts were traced without GMC; re-export "
+            "with enable_gmc=False or use the live pipeline")
+    if not pipe_cfg.host_bucket_dispatch:
+        raise ValueError(
+            "exported serving requires host_bucket_dispatch=True "
+            "(one program per bucket pair)")
+
+    class ExportedPipeline(BoTSORTPipeline):
+        def __init__(self):
+            # bundle=None: _dispatch (the only bundle consumer on the
+            # host-dispatch path) is overridden below.
+            super().__init__(None, tracker_cfg, nms_cfg, pipe_cfg)
+            self._params3 = params3
+            self._by_key = {
+                (tuple(e["frame_hw"]), e["reid_bucket"],
+                 e["face_bucket"]): e["file"]
+                for e in manifest["artifacts"]
+            }
+            self._loaded = {}
+
+        def _program(self, hw, b, fb):
+            key = (hw, b, fb)
+            fn = self._loaded.get(key)
+            if fn is None:
+                name = self._by_key.get(key)
+                if name is None:
+                    res = sorted({k[0] for k in self._by_key})
+                    raise KeyError(
+                        f"no exported artifact for frame {hw} buckets "
+                        f"({b},{fb}); exported resolutions: {res} "
+                        f"(re-run cli/export.py)")
+                with open(os.path.join(artifact_dir, name), "rb") as f:
+                    fn = load_frame_step(f.read())
+                self._loaded[key] = fn
+            return fn
+
+        def _dispatch(self, store, frame_dev, gmc_affine, reid_bucket,
+                      face_bucket):
+            assert gmc_affine is None
+            hw = (int(frame_dev.shape[0]), int(frame_dev.shape[1]))
+            fn = self._program(hw, reid_bucket, face_bucket)
+            return fn(self._params3, store, frame_dev)
+
+    return ExportedPipeline()

@@ -93,20 +93,67 @@ def test_serialized_roundtrip_via_file(bundle, blob, tmp_path):
     assert r.det_valid.shape[0] == 4  # C classes
 
 
-def test_cli_writes_manifest_and_artifacts(tmp_path, capsys):
+@pytest.fixture(scope="module")
+def export_dir(tmp_path_factory):
     from botsort_tpu.cli import export as export_cli
 
-    out = tmp_path / "exported"
+    out = tmp_path_factory.mktemp("aot") / "exported"
     rc = export_cli.main(["--out", str(out), "--mini", "-ep", "cpu",
                           "--resolutions", "120x160"])
     assert rc == 0
-    manifest = json.loads((out / "manifest.json").read_text())
+    return out
+
+
+def test_cli_writes_manifest_and_artifacts(export_dir):
+    manifest = json.loads((export_dir / "manifest.json").read_text())
     assert manifest["platform"] == "cpu"
+    assert manifest["tracker_cfg"]["max_tracks"] == 16
+    assert tuple(manifest["pipe_cfg"]["detector_input_hw"]) == (96, 128)
     assert len(manifest["artifacts"]) >= 1
     for e in manifest["artifacts"]:
-        path = out / e["file"]
+        path = export_dir / e["file"]
         assert path.is_file() and path.stat().st_size == e["bytes"]
     # Every artifact actually loads.
-    fn = load_frame_step((out / manifest["artifacts"][0]["file"]
-                          ).read_bytes())
+    fn = load_frame_step(
+        (export_dir / manifest["artifacts"][0]["file"]).read_bytes())
     assert callable(fn)
+
+
+def test_exported_pipeline_matches_live(export_dir, bundle):
+    """Full serving loop from artifacts: load_pipeline must produce the
+    SAME tracks as the live-jitted BoTSORTPipeline, frame for frame
+    (same programs, same host dispatch/overflow logic)."""
+    from botsort_tpu.pipeline.host import BoTSORTPipeline
+    from botsort_tpu.runtime.exported import _cfg_from_dict, load_pipeline
+
+    manifest = json.loads((export_dir / "manifest.json").read_text())
+    tracker_cfg = _cfg_from_dict(TrackerConfig, manifest["tracker_cfg"])
+    nms_cfg = _cfg_from_dict(NMSConfig, manifest["nms_cfg"])
+    pipe_cfg = _cfg_from_dict(PipelineConfig, manifest["pipe_cfg"])
+
+    params3 = (bundle.detector_params, bundle.body_params,
+               bundle.face_params)
+    exported = load_pipeline(str(export_dir), params3)
+    live = BoTSORTPipeline(bundle, tracker_cfg, nms_cfg, pipe_cfg)
+
+    rng = np.random.RandomState(3)
+    for t in range(3):
+        f = np.full((120, 160, 3), 70, np.uint8)
+        f[30 + 2 * t:90 + 2 * t, 40:90] = rng.randint(
+            0, 255, (60, 50, 3), np.uint8)
+        tr_live = live.update(f)
+        tr_exp = exported.update(f)
+        assert [v.track_id for v in tr_exp] == \
+            [v.track_id for v in tr_live]
+        for a, b in zip(tr_live, tr_exp):
+            np.testing.assert_array_equal(a.tlbr, b.tlbr)
+
+
+def test_exported_pipeline_unknown_resolution_errors(export_dir, bundle):
+    from botsort_tpu.runtime.exported import load_pipeline
+
+    params3 = (bundle.detector_params, bundle.body_params,
+               bundle.face_params)
+    exported = load_pipeline(str(export_dir), params3)
+    with pytest.raises(KeyError, match="no exported artifact"):
+        exported.update(np.zeros((64, 64, 3), np.uint8))
