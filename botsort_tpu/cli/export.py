@@ -33,6 +33,12 @@ def main(argv=None):
         choices=["tpu", "cpu"], default="tpu",
         help="Lowering target. A tpu export embeds TPU custom calls "
              "(Pallas cascade solver) and must be served on TPU.")
+    parser.add_argument(
+        "--streams", type=int, default=0,
+        help="Also export batched multi-stream programs for B streams "
+             "per chip (frame_step_batched; served via "
+             "runtime.exported.load_batched_pipeline / cli.multitrack "
+             "--artifact_dir). 0 = single-stream only.")
     parser.add_argument("--mini", action="store_true")
     args = parser.parse_args(argv)
 
@@ -62,6 +68,7 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     entries = []
+    batched_entries = []
     for res in args.resolutions:
         h, w = (int(v) for v in res.split("x"))
         for b, fb in pairs:
@@ -76,6 +83,26 @@ def main(argv=None):
                             "bytes": len(blob)})
             print(green(f"exported {name} ({len(blob) / 1e6:.1f} MB, "
                         f"{time.time() - t0:.1f}s)"))
+            if args.streams > 0:
+                from botsort_tpu.runtime.exported import (
+                    batched_artifact_name,
+                    export_frame_step_batched,
+                )
+
+                t0 = time.time()
+                blob = export_frame_step_batched(
+                    bundle, tracker_cfg, nms_cfg, pipe_cfg,
+                    args.streams, (h, w), b, fb)
+                name = batched_artifact_name(args.streams, (h, w), b, fb)
+                with open(os.path.join(args.out, name), "wb") as f:
+                    f.write(blob)
+                batched_entries.append(
+                    {"file": name, "streams": args.streams,
+                     "frame_hw": [h, w], "reid_bucket": b,
+                     "face_bucket": fb, "bytes": len(blob)})
+                print(green(
+                    f"exported {name} ({len(blob) / 1e6:.1f} MB, "
+                    f"{time.time() - t0:.1f}s)"))
 
     import dataclasses
 
@@ -90,11 +117,12 @@ def main(argv=None):
         "jax_version": jax.__version__,
         "mini": args.mini,
         "artifacts": entries,
+        "batched_artifacts": batched_entries,
     }
     with open(os.path.join(args.out, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
-    print(green(f"wrote {len(entries)} artifacts + manifest to "
-                f"{args.out}"))
+    print(green(f"wrote {len(entries) + len(batched_entries)} artifacts "
+                f"+ manifest to {args.out}"))
     return 0
 
 

@@ -47,6 +47,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--output_dir", type=str, default=".")
     parser.add_argument("--weights_dir", type=str, default="weights")
     parser.add_argument("--max_frames", type=int, default=0)
+    parser.add_argument(
+        "--artifact_dir", type=str, default="",
+        help="Serve from AOT export artifacts (cli/export.py --streams "
+             "N, N = number of videos) instead of live-jitted models.")
     parser.add_argument("--mini", action="store_true",
                         help="Miniature architectures (smoke tests).")
     return parser
@@ -83,8 +87,16 @@ def main(argv=None):
     env_warn = stream_envelope_warning(b, jax.default_backend())
     if env_warn:
         print(yellow(env_warn))
-    pipeline = BatchedBoTSORTPipeline(bundle, b, tracker_cfg, NMSConfig(),
-                                      pipe_cfg)
+    if args.artifact_dir:
+        from botsort_tpu.runtime.exported import load_batched_pipeline
+
+        pipeline = load_batched_pipeline(
+            args.artifact_dir,
+            (bundle.detector_params, bundle.body_params,
+             bundle.face_params), b)
+    else:
+        pipeline = BatchedBoTSORTPipeline(bundle, b, tracker_cfg,
+                                          NMSConfig(), pipe_cfg)
 
     caps = [cv2.VideoCapture(p) for p in args.videos]
     writers = [None] * b

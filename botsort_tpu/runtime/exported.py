@@ -106,10 +106,54 @@ def load_frame_step(blob: bytes):
     return exp.call
 
 
+def export_frame_step_batched(
+    bundle,
+    tracker_cfg,
+    nms_cfg,
+    pipe_cfg,
+    n_streams: int,
+    frame_hw: Tuple[int, int],
+    reid_bucket: int,
+    face_bucket: int,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize one batched-streams program (frame_step_batched):
+    ``fn(params3, stores[B], frames[B,H,W,3]) -> (stores, results)``."""
+    _ensure_registered()
+    det = bundle.detector
+    body = bundle.body_encoder
+    face = bundle.face_encoder
+
+    def step(params3, stores, frames_bgr):
+        b = fs.ModelBundle(det, params3[0], body, params3[1],
+                           face, params3[2])
+        return fs.frame_step_batched(b, stores, frames_bgr, tracker_cfg,
+                                     nms_cfg, pipe_cfg, None,
+                                     reid_bucket, face_bucket)
+
+    params3 = (bundle.detector_params, bundle.body_params,
+               bundle.face_params)
+    one = empty_store(tracker_cfg)
+    stores = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_streams,) + jnp.shape(x)), one)
+    h, w = frame_hw
+    exp = jexport.export(jax.jit(step), platforms=platforms)(
+        _avals(params3), _avals(stores),
+        jax.ShapeDtypeStruct((n_streams, h, w, 3), jnp.uint8))
+    return exp.serialize()
+
+
 def artifact_name(frame_hw: Tuple[int, int], reid_bucket: int,
                   face_bucket: int) -> str:
     h, w = frame_hw
     return f"step_{h}x{w}_b{reid_bucket}_f{face_bucket}.jaxexp"
+
+
+def batched_artifact_name(n_streams: int, frame_hw: Tuple[int, int],
+                          reid_bucket: int, face_bucket: int) -> str:
+    h, w = frame_hw
+    return (f"step_s{n_streams}_{h}x{w}"
+            f"_b{reid_bucket}_f{face_bucket}.jaxexp")
 
 
 def _cfg_from_dict(cls, d):
@@ -196,3 +240,61 @@ def load_pipeline(artifact_dir: str, params3):
             return fn(self._params3, store, frame_dev)
 
     return ExportedPipeline()
+
+
+def load_batched_pipeline(artifact_dir: str, params3, n_streams: int):
+    """A BatchedBoTSORTPipeline served from AOT artifacts
+    (cli/export.py --streams); the multi-stream analog of
+    :func:`load_pipeline`. Same host logic (shared bucket dispatch,
+    overflow re-run, per-stream assembly); only the batched device step
+    is swapped for deserialized programs keyed on
+    (n_streams, resolution, bucket pair)."""
+    import json
+    import os
+
+    from botsort_tpu.config import (
+        NMSConfig,
+        PipelineConfig,
+        TrackerConfig,
+    )
+    from botsort_tpu.pipeline.host import BatchedBoTSORTPipeline
+
+    with open(os.path.join(artifact_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    tracker_cfg = _cfg_from_dict(TrackerConfig, manifest["tracker_cfg"])
+    nms_cfg = _cfg_from_dict(NMSConfig, manifest["nms_cfg"])
+    pipe_cfg = _cfg_from_dict(PipelineConfig, manifest["pipe_cfg"])
+    if not pipe_cfg.host_bucket_dispatch:
+        raise ValueError(
+            "exported serving requires host_bucket_dispatch=True "
+            "(one program per bucket pair)")
+    by_key = {
+        (e["streams"], tuple(e["frame_hw"]), e["reid_bucket"],
+         e["face_bucket"]): e["file"]
+        for e in manifest.get("batched_artifacts", [])
+    }
+    loaded = {}
+
+    def step(_bundle, stores, frames, _t, _n, _p,
+             gmc_affines=None, reid_bucket=None, face_bucket=None):
+        assert gmc_affines is None
+        key = (n_streams,
+               (int(frames.shape[1]), int(frames.shape[2])),
+               reid_bucket, face_bucket)
+        fn = loaded.get(key)
+        if fn is None:
+            name = by_key.get(key)
+            if name is None:
+                raise KeyError(
+                    f"no batched artifact for streams={key[0]} frame "
+                    f"{key[1]} buckets {key[2:]} — re-run cli/export.py "
+                    f"--streams {n_streams}")
+            with open(os.path.join(artifact_dir, name), "rb") as f:
+                fn = load_frame_step(f.read())
+            loaded[key] = fn
+        return fn(params3, stores, frames)
+
+    pipe = BatchedBoTSORTPipeline(None, n_streams, tracker_cfg, nms_cfg,
+                                  pipe_cfg)
+    pipe._step = step
+    return pipe

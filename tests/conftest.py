@@ -29,7 +29,29 @@ jax.config.update("jax_platforms", "cpu")
 # OWN cache directory — sharing the TPU processes' cache meant
 # concurrent writers on the same files, and a flaky segfault was traced
 # into jax's cache-write path under that contention.
+#
+# Self-healing: a process that segfaults mid-run (the XLA:CPU JIT is
+# known to crash late in big suites) can leave a truncated cache entry,
+# and the NEXT run then segfaults in the cache-READ/deserialize path —
+# a self-perpetuating crash ("passes with a cold cache"). A sentinel
+# marks a session in progress; if it survives (previous run died), the
+# cache is wiped before use.
+import shutil  # noqa: E402
+
 from botsort_tpu.runtime.device import setup_compilation_cache  # noqa: E402
 
-setup_compilation_cache(
-    os.path.expanduser("~/.cache/botsort_tpu/xla-cpu-tests"))
+_cache_dir = os.path.expanduser("~/.cache/botsort_tpu/xla-cpu-tests")
+_sentinel = os.path.join(_cache_dir, ".session-in-progress")
+if os.path.exists(_sentinel):
+    shutil.rmtree(_cache_dir, ignore_errors=True)
+os.makedirs(_cache_dir, exist_ok=True)
+with open(_sentinel, "w"):
+    pass
+setup_compilation_cache(_cache_dir)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    try:
+        os.remove(_sentinel)
+    except OSError:
+        pass

@@ -99,7 +99,7 @@ def export_dir(tmp_path_factory):
 
     out = tmp_path_factory.mktemp("aot") / "exported"
     rc = export_cli.main(["--out", str(out), "--mini", "-ep", "cpu",
-                          "--resolutions", "120x160"])
+                          "--resolutions", "120x160", "--streams", "2"])
     assert rc == 0
     return out
 
@@ -147,6 +147,44 @@ def test_exported_pipeline_matches_live(export_dir, bundle):
             [v.track_id for v in tr_live]
         for a, b in zip(tr_live, tr_exp):
             np.testing.assert_array_equal(a.tlbr, b.tlbr)
+
+
+def test_exported_batched_pipeline_matches_live(export_dir, bundle):
+    """Multi-stream artifact serving: load_batched_pipeline equals the
+    live BatchedBoTSORTPipeline per stream, per frame."""
+    from botsort_tpu.pipeline.host import BatchedBoTSORTPipeline
+    from botsort_tpu.runtime.exported import (
+        _cfg_from_dict,
+        load_batched_pipeline,
+    )
+
+    manifest = json.loads((export_dir / "manifest.json").read_text())
+    assert len(manifest["batched_artifacts"]) >= 1
+    tracker_cfg = _cfg_from_dict(TrackerConfig, manifest["tracker_cfg"])
+    nms_cfg = _cfg_from_dict(NMSConfig, manifest["nms_cfg"])
+    pipe_cfg = _cfg_from_dict(PipelineConfig, manifest["pipe_cfg"])
+
+    params3 = (bundle.detector_params, bundle.body_params,
+               bundle.face_params)
+    exported = load_batched_pipeline(str(export_dir), params3, 2)
+    live = BatchedBoTSORTPipeline(bundle, 2, tracker_cfg, nms_cfg,
+                                  pipe_cfg)
+
+    rng = np.random.RandomState(5)
+    for t in range(2):
+        frames = []
+        for s in range(2):
+            f = np.full((120, 160, 3), 70, np.uint8)
+            f[20 + 10 * s + 2 * t:80 + 10 * s + 2 * t, 40:90] = \
+                rng.randint(0, 255, (60, 50, 3), np.uint8)
+            frames.append(f)
+        tr_live = live.update(np.stack(frames))
+        tr_exp = exported.update(np.stack(frames))
+        for s in range(2):
+            assert [v.track_id for v in tr_exp[s]] == \
+                [v.track_id for v in tr_live[s]]
+            for a, b in zip(tr_live[s], tr_exp[s]):
+                np.testing.assert_array_equal(a.tlbr, b.tlbr)
 
 
 def test_exported_pipeline_unknown_resolution_errors(export_dir, bundle):

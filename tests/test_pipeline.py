@@ -7,6 +7,7 @@ the readback, determinism, and that the host facade assembles a coherent
 track list + box hierarchy.
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -14,6 +15,16 @@ import pytest
 from botsort_tpu.config import NMSConfig, PipelineConfig, TrackerConfig
 from botsort_tpu.pipeline.host import BoTSORTPipeline
 from botsort_tpu.runtime.assets import build_bundle
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_state():
+    # Same XLA:CPU JIT cliff as tests/test_static_bucket.py: compiling
+    # this module's full-pipeline programs after the suite's hundreds
+    # of live executables (the AOT-export tests alone add ~20)
+    # segfaults in backend_compile / cache deserialize. Shedding JAX's
+    # executable caches first keeps the process under the cliff.
+    jax.clear_caches()
 
 TRK = TrackerConfig(max_tracks=16, body_feature_dim=256,
                     face_feature_dim=256)
