@@ -812,6 +812,119 @@ def main():
         seg_time("splat1_conv_pack4", PackedConv(4), (b // 4, 64, 32, 256),
                  lambda y: y[:, ::7, ::5, 0])
 
+    if "dark2var" in stages:
+        # dark2 is the detector's worst remaining segment (0.64 ms @
+        # 13% MFU, detseg): ConvBN(160,3,s2) on (240,320,80) + CSP(160,
+        # n=4) with hidden=80 at (120,160). Candidate relowerings, each
+        # timed at the real geometry (exactness machinery comes later
+        # for whichever wins — these probe variants carry their own
+        # params):
+        # - splitsum: CSP's concat([a,b]) @ W == a @ Wa + b @ Wb
+        #   (concat-free: no 160-ch relayout between the branches).
+        # - chpad: every hidden conv padded 80 -> 128 output channels
+        #   (1.6x nominal FLOPs; tests whether XLA picks a better
+        #   strategy at full-lane widths).
+        # - s2dpack: the stride-2 3x3 downsample as s2d(2) + 2x2 conv
+        #   over 320 channels (K 720 -> 1280, exact-expressible).
+        import flax.linen as nn
+
+        from botsort_tpu.models.common import Bottleneck, ConvBN
+
+        class CSPAsIs(nn.Module):
+            feats: int = 160
+            n: int = 4
+
+            @nn.compact
+            def __call__(self, x):
+                x = ConvBN(self.feats, 3, 2)(x)
+                h = self.feats // 2
+                a = ConvBN(h, 1, 1)(x)
+                b = ConvBN(h, 1, 1)(x)
+                for _ in range(self.n):
+                    a = Bottleneck(h, True, 1.0)(a)
+                y = jnp.concatenate([a, b], axis=-1)
+                return ConvBN(self.feats, 1, 1)(y)
+
+        class CSPSplitSum(nn.Module):
+            feats: int = 160
+            n: int = 4
+
+            @nn.compact
+            def __call__(self, x):
+                x = ConvBN(self.feats, 3, 2)(x)
+                h = self.feats // 2
+                a = ConvBN(h, 1, 1)(x)
+                b = ConvBN(h, 1, 1)(x)
+                for _ in range(self.n):
+                    a = Bottleneck(h, True, 1.0)(a)
+                # concat([a, b]) @ W == a @ Wa + b @ Wb; keep BN+act on
+                # the sum (same math as the fused ConvBN epilogue).
+                ya = nn.Conv(self.feats, (1, 1), use_bias=False,
+                             dtype=jnp.bfloat16)(a)
+                yb = nn.Conv(self.feats, (1, 1), use_bias=False,
+                             dtype=jnp.bfloat16)(b)
+                y = nn.BatchNorm(use_running_average=True, momentum=0.97,
+                                 epsilon=1e-3, dtype=jnp.bfloat16)(
+                                     ya + yb)
+                return nn.silu(y)
+
+        class CSPChPad(nn.Module):
+            feats: int = 160
+            n: int = 4
+
+            @nn.compact
+            def __call__(self, x):
+                x = ConvBN(self.feats, 3, 2)(x)
+                h = 128  # hidden 80 -> full-lane 128
+                a = ConvBN(h, 1, 1)(x)
+                b = ConvBN(h, 1, 1)(x)
+                for _ in range(self.n):
+                    a = Bottleneck(h, True, 1.0)(a)
+                y = jnp.concatenate([a, b], axis=-1)
+                return ConvBN(self.feats, 1, 1)(y)
+
+        class DownAsIs(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return ConvBN(160, 3, 2)(x)
+
+        class DownS2D(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                b, h, w, c = x.shape
+                z = x.reshape(b, h // 2, 2, w // 2, 2, c)
+                z = z.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    b, h // 2, w // 2, 4 * c)
+                # 2x2 conv with pad (1,0): covers the stride-2 3x3's
+                # taps u in {-1, 0} on the packed grid (5/9 of the
+                # packed-kernel weights would be exact zeros in the
+                # weight-remapped form).
+                z = nn.Conv(160, (2, 2), padding=((1, 0), (1, 0)),
+                            use_bias=False, dtype=jnp.bfloat16)(z)
+                z = nn.BatchNorm(use_running_average=True, momentum=0.97,
+                                 epsilon=1e-3, dtype=jnp.bfloat16)(z)
+                return nn.silu(z)
+
+        for name, mod in (("dark2_asis", CSPAsIs()),
+                          ("dark2_splitsum", CSPSplitSum()),
+                          ("dark2_chpad", CSPChPad()),
+                          ("down_asis", DownAsIs()),
+                          ("down_s2dpack", DownS2D())):
+            in_shape = (1, 240, 320, 80)
+            params = jax.jit(mod.init)(jax.random.PRNGKey(0),
+                                       jnp.zeros(in_shape))
+            base = jnp.asarray(rng.uniform(0, 1, in_shape), jnp.float32)
+            deltas = jnp.linspace(0.0, 0.01, args.k)
+            sec = time_scan(
+                lambda p, c, d, _m=mod: (
+                    c, _m.apply(p[0], p[1] + d)[:, ::37, ::41, 0]),
+                (params, base), jnp.zeros(()), deltas, args.k)
+            g = model_conv_flops(mod, jnp.zeros(in_shape))
+            print(json.dumps({"stage": name, "ms": round(sec * 1e3, 3),
+                              "gflops": round(g / 1e9, 1),
+                              "mfu": round(g / sec / V5E_PEAK_BF16, 4)}),
+                  flush=True)
+
     if "stemvar" in stages:
         # Focus-stem fold candidate: space-to-depth slicing + 3x3 conv
         # on 12 channels vs the mathematically equivalent single 6x6
