@@ -337,6 +337,14 @@ def main():
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
         empty_store, floor_s=floor_s)
 
+    # IoU-only association on the loaded scene (BASELINE config 1):
+    # bucket 0 skips both encoders; with zero features the reference's
+    # min(iou, masked-emb) fusion degenerates to exactly IoU
+    # (config.py::PipelineConfig.disable_reid; demo --no_reid).
+    fps_noreid, _, _ = run_config(
+        frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
+        empty_store, floor_s=floor_s, reid_bucket=0, face_bucket=0)
+
     # Pipeline floor with no detections: threshold 1.01 with the strict
     # '>' filter guarantees an empty scene — 0.99 did NOT (the top-50
     # NMS survivors of thousands of random-weight sigmoid scores reach
@@ -394,6 +402,12 @@ def main():
                               frames, empty_store, b=8, k=16,
                               floor_s=floor_s, reid_bucket=16)
 
+    # BASELINE config 5 verbatim: 8 concurrent 1080p streams WITH the
+    # mot20_sbs_S50 384x128 ReID geometry (1.5x the 256x128 pixel load).
+    fps_batched_384 = run_batched(bundle, moderate_cfg, nms_cfg,
+                                  pipe_384, frames, empty_store, b=8,
+                                  k=16, floor_s=floor_s, reid_bucket=16)
+
     # int8 PTQ, SCOPED to the mid-network (models/quantize.py
     # scope="mid"): full-model int8 measured net-negative on v5e/XLA
     # (per-layer requant + tile-layout churn on the small early
@@ -427,8 +441,10 @@ def main():
         "empty_scene_fps": round(fps_empty, 2),
         "moderate16_fps": round(fps_mod, 2),
         "mot20_384_fps": round(fps_mot20, 2),
+        "loaded_iou_only_fps": round(fps_noreid, 2),
         "dynamic_bucket_loaded_fps": round(fps_dyn, 2),
         "batched_8stream_aggregate_fps": round(fps_batched, 2),
+        "batched_8stream_mot20_384_fps": round(fps_batched_384, 2),
         "loaded_int8mid_fps": round(fps_loaded_q, 2),
         "batched_8stream_int8mid_fps": round(fps_batched_q, 2),
         "mfu": mfu,

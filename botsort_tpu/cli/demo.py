@@ -77,6 +77,12 @@ def build_parser() -> ArgumentParser:
         "--mini", action="store_true",
         help="Use miniature model architectures (smoke tests).")
     parser.add_argument(
+        "--no_reid", action="store_true",
+        help="IoU-only association (BASELINE config 1): skip both ReID "
+             "encoders. Exact — with zero features the reference's "
+             "min(iou, masked-emb) cost fusion (demo:1538-1556) "
+             "degenerates to IoU; large speedup on the cpu EP.")
+    parser.add_argument(
         "--gmc", action="store_true",
         help="Enable camera-motion compensation (sparse-flow estimator; "
              "the reference's multi_gmc is dead code — we implement it).")
@@ -131,6 +137,7 @@ def main(argv=None):
         face_reid_input_hw=(128, 128) if not args.mini else (32, 32),
         track_target_classes=tuple(args.track_target_classes),
         enable_gmc=args.gmc,
+        disable_reid=args.no_reid,
     )
     tracker_cfg = TrackerConfig(
         body_feature_dim=2048 if not args.mini else 256,

@@ -123,6 +123,13 @@ class PipelineConfig:
     # frames whose count overflows the chosen bucket re-run with the
     # next one (encoder outputs are batch-size invariant per sample).
     host_bucket_dispatch: bool = True
+    # IoU-only association (BASELINE config 1): skip both ReID encoders
+    # by pinning the host dispatch to bucket 0 (zero features). Exact
+    # IoU-only math falls out of the reference's own cost fusion:
+    # dists = min(iou_dist, masked emb_dist) (demo:1538-1556), and with
+    # zero features every emb_dist is 1.0 and masked to the ceiling, so
+    # min(iou, 1) == iou. No separate cascade code path needed.
+    disable_reid: bool = False
 
 
 DEFAULT_NMS = NMSConfig()

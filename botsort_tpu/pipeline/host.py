@@ -155,16 +155,22 @@ class BoTSORTPipeline:
                     gmc_affine)
                 result_host = jax.device_get(result)
             else:
-                # First frame: no count yet — take the safe full bucket.
-                if self._last_n_live is None:
+                no_reid = self.pipe_cfg.disable_reid
+                if no_reid:
+                    # IoU-only mode: bucket 0 == zero features ==
+                    # exactly the reference's IoU-only cost (config.py
+                    # disable_reid note); no overflow re-run possible.
+                    bucket = fbucket = 0
+                elif self._last_n_live is None:
+                    # First frame: no count yet — the safe full bucket.
                     bucket = fbucket = self._buckets[-1]
                 else:
                     bucket = self._pick_bucket(self._last_n_live)
                     fbucket = self._pick_bucket(self._face_need(
                         self._last_n_face, self._last_n_live))
                 backup = None
-                if bucket < self._buckets[-1] or \
-                        fbucket < self._buckets[-1]:
+                if not no_reid and (bucket < self._buckets[-1]
+                                    or fbucket < self._buckets[-1]):
                     # frame_step donates the store; keep a device-side
                     # copy (one fused dispatch, ~1 MB) so an overflow
                     # frame can re-run with a bigger bucket.
@@ -172,18 +178,19 @@ class BoTSORTPipeline:
                 self.store, result = self._dispatch(
                     self.store, frame_dev, gmc_affine, bucket, fbucket)
                 result_host = jax.device_get(result)
-                n_live, n_face = _live_and_face_counts(
-                    result_host, self._det_width)
-                if n_live > bucket or \
-                        self._face_need(n_face, n_live) > fbucket:
-                    self.store, result = self._dispatch(
-                        backup, frame_dev, gmc_affine,
-                        self._pick_bucket(n_live),
-                        self._pick_bucket(
-                            self._face_need(n_face, n_live)))
-                    result_host = jax.device_get(result)
-                self._last_n_live = n_live
-                self._last_n_face = n_face
+                if not no_reid:
+                    n_live, n_face = _live_and_face_counts(
+                        result_host, self._det_width)
+                    if n_live > bucket or \
+                            self._face_need(n_face, n_live) > fbucket:
+                        self.store, result = self._dispatch(
+                            backup, frame_dev, gmc_affine,
+                            self._pick_bucket(n_live),
+                            self._pick_bucket(
+                                self._face_need(n_face, n_live)))
+                        result_host = jax.device_get(result)
+                    self._last_n_live = n_live
+                    self._last_n_face = n_face
         with self.timers.stage("assemble"):
             return self._assemble(result_host)
 

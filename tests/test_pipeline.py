@@ -90,6 +90,32 @@ def test_mixed_source_resolutions(pipeline):
     assert pipeline.frame_id == 2
 
 
+def test_disable_reid_equals_bucket0(pipeline):
+    """IoU-only mode (BASELINE config 1, demo --no_reid) must equal an
+    explicit bucket-0 dispatch: zero features degenerate the
+    reference's min(iou, masked-emb) fusion to IoU exactly."""
+    import dataclasses
+
+    from botsort_tpu.pipeline.frame_step import frame_step
+    from botsort_tpu.track.state import empty_store
+
+    no_reid = BoTSORTPipeline(
+        pipeline.bundle, TRK, NMSC,
+        dataclasses.replace(PIPE, disable_reid=True))
+    store = empty_store(TRK)
+    rng = np.random.default_rng(4)
+    for _ in range(3):
+        frame = rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+        tracks = no_reid.update(frame)
+        store, res = frame_step(pipeline.bundle, store,
+                                jnp.asarray(frame), TRK, NMSC, PIPE,
+                                None, 0, 0)
+        ref_ids = np.asarray(res.tracks.track_id)[
+            np.asarray(res.tracks.valid)]
+        assert sorted(t.track_id for t in tracks) == \
+            sorted(int(i) for i in ref_ids)
+
+
 def test_lazy_package_exports():
     import botsort_tpu
 
