@@ -289,7 +289,10 @@ def main():
         _det_width,
         reid_bucket_set,
     )
-    from botsort_tpu.pipeline.host import _live_and_face_counts
+    from botsort_tpu.pipeline.host import (
+        _live_and_face_counts,
+        face_bucket_need,
+    )
 
     buckets = reid_bucket_set(loaded_cfg, nms_cfg, pipe_cfg)
     d_width = _det_width(loaded_cfg, nms_cfg)
@@ -302,9 +305,7 @@ def main():
         res_h = jax.device_get(res)
         n_live, n_face = _live_and_face_counts(res_h, d_width)
         body_need = max(body_need, n_live)
-        face_need = max(face_need,
-                        (n_face + (1 if n_face < n_live else 0))
-                        if n_live else 0)
+        face_need = max(face_need, face_bucket_need(n_face, n_live))
     face_bucket = next(b for b in buckets if face_need <= b)
     assert face_need <= face_bucket, (face_need, buckets)
 

@@ -144,6 +144,9 @@ def main(argv=None):
             if len(shapes) > 1:
                 print(f"ERROR: all videos must share one resolution; "
                       f"got {sorted(shapes)} (HxW).")
+                if prev is not None:
+                    _emit(prev)  # the resolved previous step is real
+                    prev = None  # work — don't truncate the outputs
                 return 1
             step_live = sum(live)
             # Dispatch this step, then draw/encode the PREVIOUS step's

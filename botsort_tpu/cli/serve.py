@@ -88,15 +88,25 @@ def build_pipeline_factory(args):
         # AOT-artifact serving: deserialized StableHLO programs
         # (cli/export.py) + checkpoint params — no model re-trace, no
         # first-compile stall; configs come from the manifest.
+        if getattr(args, "int8", False):
+            raise SystemExit(
+                "ERROR: --int8 cannot apply to --artifact_dir serving "
+                "(the programs are already lowered); export int8 "
+                "artifacts instead, or serve live models with --int8.")
         from botsort_tpu.runtime.exported import load_pipeline
 
         bundle = assets.build_bundle(weights_dir=args.weights_dir,
                                      mini=args.mini)
         params3 = (bundle.detector_params, bundle.body_params,
                    bundle.face_params)
+        # One deserialize per program for the whole server — new
+        # connections share the compiled-program cache and only get
+        # fresh tracker state.
+        shared_programs = {}
 
         def factory():
-            return load_pipeline(args.artifact_dir, params3)
+            return load_pipeline(args.artifact_dir, params3,
+                                 program_cache=shared_programs)
 
         return factory
     bundle = assets.build_bundle(weights_dir=args.weights_dir,

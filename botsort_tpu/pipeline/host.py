@@ -35,6 +35,18 @@ def _copy_store(store):
     return jax.tree.map(jnp.copy, store)
 
 
+def face_bucket_need(n_face: int, n_live: int) -> int:
+    """Face-bucket requirement for a frame with ``n_live`` live bodies
+    and ``n_face`` attached faces: the face count plus one zero-crop
+    slot (the encoder(0) constant source) whenever a faceless live body
+    exists. THE single definition — the single-stream and batched
+    dispatchers and the bench must all pick buckets with the same rule
+    or their overflow re-runs diverge."""
+    if n_live == 0:
+        return 0
+    return n_face + (1 if n_face < n_live else 0)
+
+
 def _live_and_face_counts(res_host, d: int):
     """(live bodies, bodies with an attached face) among the first d
     body det slots of one FrameResult."""
@@ -76,6 +88,11 @@ class BoTSORTPipeline:
         self.tracker_cfg = tracker_cfg
         self.nms_cfg = nms_cfg
         self.pipe_cfg = pipe_cfg
+        if pipe_cfg.disable_reid and not pipe_cfg.host_bucket_dispatch:
+            raise ValueError(
+                "disable_reid (IoU-only mode) requires "
+                "host_bucket_dispatch=True — the in-program dynamic "
+                "bucketing path would still run the encoders")
         self.store = empty_store(tracker_cfg)
         self.frame_id = 0
         from botsort_tpu.utils.profiling import StageTimers
@@ -111,12 +128,7 @@ class BoTSORTPipeline:
         return self._buckets[-1]
 
     def _face_need(self, n_face: int, n_live: int) -> int:
-        """Face-bucket requirement: the attached-face count plus one
-        zero-crop slot (the encoder(0) constant source) whenever a
-        faceless live body exists."""
-        if n_live == 0:
-            return 0
-        return n_face + (1 if n_face < n_live else 0)
+        return face_bucket_need(n_face, n_live)
 
     def reset(self):
         self.store = empty_store(self.tracker_cfg)
@@ -309,6 +321,11 @@ class BatchedBoTSORTPipeline:
         self.tracker_cfg = tracker_cfg
         self.nms_cfg = nms_cfg
         self.pipe_cfg = pipe_cfg
+        if pipe_cfg.disable_reid and not pipe_cfg.host_bucket_dispatch:
+            raise ValueError(
+                "disable_reid (IoU-only mode) requires "
+                "host_bucket_dispatch=True — the in-program dynamic "
+                "bucketing path would still run the encoders")
         one = empty_store(tracker_cfg)
         self.stores = jax.tree.map(
             lambda x: jnp.stack([x] * n_streams), one)
@@ -368,15 +385,22 @@ class BatchedBoTSORTPipeline:
                 self.bundle, self.stores, frames,
                 self.tracker_cfg, self.nms_cfg, self.pipe_cfg)
             return PendingBatch(self, frames, result, None, None, None)
+        if self.pipe_cfg.disable_reid:
+            # IoU-only mode: bucket 0 == zero features (see
+            # config.py::PipelineConfig.disable_reid). bucket=None in
+            # the pending handle skips the overflow logic (none can
+            # occur at a pinned bucket).
+            self.stores, result = self._step(
+                self.bundle, self.stores, frames,
+                self.tracker_cfg, self.nms_cfg, self.pipe_cfg,
+                None, 0, 0)
+            return PendingBatch(self, frames, result, None, None, None)
         if self._last_max_live is None:
             bucket = fbucket = self._buckets[-1]
         else:
             bucket = self._pick_bucket(self._last_max_live)
-            need = (0 if self._last_max_live == 0 else
-                    self._last_max_face
-                    + (1 if self._last_max_face
-                       < self._last_max_live else 0))
-            fbucket = self._pick_bucket(need)
+            fbucket = self._pick_bucket(face_bucket_need(
+                self._last_max_face, self._last_max_live))
         backup = None
         if bucket < self._buckets[-1] or fbucket < self._buckets[-1]:
             backup = _copy_store(self.stores)
@@ -390,8 +414,7 @@ class BatchedBoTSORTPipeline:
         res_host = jax.device_get(result)
         if bucket is not None:
             max_live, max_face = self._counts(res_host)
-            need = (0 if max_live == 0 else
-                    max_face + (1 if max_face < max_live else 0))
+            need = face_bucket_need(max_face, max_live)
             if max_live > bucket or need > fbucket:
                 self.stores, result = self._step(
                     self.bundle, backup, frames,

@@ -163,7 +163,7 @@ def _cfg_from_dict(cls, d):
                   for k, v in d.items()})
 
 
-def load_pipeline(artifact_dir: str, params3):
+def load_pipeline(artifact_dir: str, params3, program_cache=None):
     """A BoTSORTPipeline served from AOT artifacts instead of live jit.
 
     A deployment host needs only: an export directory (cli/export.py)
@@ -178,6 +178,10 @@ def load_pipeline(artifact_dir: str, params3):
     Constraints vs the live pipeline: the frame resolution must match
     an exported artifact, and GMC is unsupported (the programs were
     traced with gmc_affine=None).
+
+    program_cache: optional dict shared across load_pipeline calls so
+    multiple pipelines (e.g. one per serve connection) deserialize each
+    program once; tracker state stays per-pipeline.
     """
     import json
     import os
@@ -214,7 +218,8 @@ def load_pipeline(artifact_dir: str, params3):
                  e["face_bucket"]): e["file"]
                 for e in manifest["artifacts"]
             }
-            self._loaded = {}
+            self._loaded = (program_cache if program_cache is not None
+                            else {})
 
         def _program(self, hw, b, fb):
             key = (hw, b, fb)
