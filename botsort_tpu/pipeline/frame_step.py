@@ -70,17 +70,21 @@ def _det_width(tracker_cfg: TrackerConfig, nms_cfg: NMSConfig) -> int:
 def reid_bucket_set(tracker_cfg: TrackerConfig, nms_cfg: NMSConfig,
                     pipe_cfg: PipelineConfig) -> list[int]:
     """The static ReID bucket sizes the host dispatcher picks from
-    (ascending): skip-entirely, the common small batch, the det width.
-    One compiled program per (body, face) bucket pair — cli/warmup.py
-    pre-compiles them all.
+    (ascending): skip-entirely, the common small batch, a mid step, the
+    det width. One compiled program per (body, face) bucket pair —
+    cli/warmup.py pre-compiles them all.
 
     The top bucket is the det WIDTH d (the maximum possible live
     count), not the r-padded slot width dp: at the defaults d=50 slots
     pad to dp=64, and a 64-crop encoder batch would spend 22% of the
-    frame's dominant stage embedding guaranteed-invalid slots."""
+    frame's dominant stage embedding guaranteed-invalid slots. The 2r
+    mid bucket ({0,16,32,50} at the defaults) keeps 17..2r-body scenes
+    from paying the full-crowd encoder price (body ReID time is ~linear
+    in the bucket, docs/PERF.md); the reference's equivalent is 100
+    per-batch TensorRT engines (optimize_reid_tensorrt_engine.sh)."""
     d = _det_width(tracker_cfg, nms_cfg)
     r = pipe_cfg.max_reid_batch
-    return sorted({0, min(r, d), d})
+    return sorted({0, min(r, d), min(2 * r, d), d})
 
 
 def _pad_slots(arr: jnp.ndarray, dp: int, axis: int = 0,

@@ -25,5 +25,20 @@ def test_warmup_mini():
         cwd=repo, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "compiled 120x160" in proc.stdout
-    # One line per (body, face) bucket pair the host dispatcher uses.
-    assert proc.stdout.count("compiled 120x160 buckets") == 6, proc.stdout
+    # One line per (body, face) bucket pair the host dispatcher uses —
+    # derive the expected count from the same bucket-set helper the
+    # warmup CLI uses (hardcoding it broke when the set gained a mid
+    # bucket).
+    from botsort_tpu.config import NMSConfig, PipelineConfig, TrackerConfig
+    from botsort_tpu.pipeline.frame_step import reid_bucket_set
+
+    buckets = reid_bucket_set(
+        TrackerConfig(max_tracks=16, body_feature_dim=256,
+                      face_feature_dim=256),
+        NMSConfig(),
+        PipelineConfig(detector_input_hw=(96, 128),
+                       body_reid_input_hw=(64, 32),
+                       face_reid_input_hw=(32, 32), max_reid_batch=4))
+    n_pairs = sum(1 for b in buckets for fb in buckets if fb <= b)
+    assert proc.stdout.count("compiled 120x160 buckets") == n_pairs, \
+        proc.stdout
