@@ -44,7 +44,8 @@ def main(argv=None):
         body_reid_input_hw=assets.parse_body_reid_input_hw(
             args.body_feature_extractor_model) if not args.mini else (64, 32),
         face_reid_input_hw=(128, 128) if not args.mini else (32, 32),
-        track_target_classes=tuple(args.track_target_classes))
+        track_target_classes=tuple(args.track_target_classes),
+        disable_reid=args.no_reid)
     tracker_cfg = TrackerConfig(
         body_feature_dim=2048 if not args.mini else 256,
         face_feature_dim=256)
@@ -89,10 +90,14 @@ def main(argv=None):
                 if not buf:
                     break
                 if len(buf) == tb:
+                    # disable_reid must reach the direct temporal call
+                    # too (bucket 0 == IoU-only, config.py note).
+                    tbuckets = (0, 0) if args.no_reid else (None, None)
                     pipeline.store, res = frame_step_temporal(
                         pipeline.bundle, pipeline.store,
                         jnp.asarray(np.stack(buf)), pipeline.tracker_cfg,
-                        pipeline.nms_cfg, pipeline.pipe_cfg)
+                        pipeline.nms_cfg, pipeline.pipe_cfg,
+                        *tbuckets)
                     res = jax.device_get(res)
                     for t in range(tb):
                         n += 1
