@@ -187,6 +187,36 @@ def test_exported_batched_pipeline_matches_live(export_dir, bundle):
                 np.testing.assert_array_equal(a.tlbr, b.tlbr)
 
 
+def test_multitrack_cli_artifact_mode(export_dir, tmp_path, capsys):
+    """multitrack --artifact_dir drives the batched AOT path end to end
+    (videos at an exported resolution, per-stream outputs written)."""
+    import cv2
+
+    from botsort_tpu.cli import multitrack
+
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"v{i}.mp4"
+        w = cv2.VideoWriter(str(p), cv2.VideoWriter_fourcc(*"mp4v"),
+                            30, (160, 120))
+        for t in range(4):
+            img = np.full((120, 160, 3), 70, np.uint8)
+            img[30 + 4 * t:80 + 4 * t, 40 + 10 * i:90 + 10 * i] = 200
+            w.write(img)
+        w.release()
+        paths.append(str(p))
+
+    rc = multitrack.main(
+        ["-v", *paths, "--mini", "-ep", "cpu",
+         "--artifact_dir", str(export_dir),
+         "--max_frames", "3", "--output_dir", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "processed" in out
+    for i in range(2):
+        assert (tmp_path / f"v{i}_tracked.mp4").is_file()
+
+
 def test_exported_pipeline_unknown_resolution_errors(export_dir, bundle):
     from botsort_tpu.runtime.exported import load_pipeline
 
