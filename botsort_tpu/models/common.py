@@ -83,13 +83,83 @@ class Bottleneck(nn.Module):
         return y
 
 
+class _ConvKernel(nn.Module):
+    """Creates the param ``kernel`` exactly where an ``nn.Conv`` would.
+
+    Used by the splitsum CSP output stage so its param tree (path,
+    shape, init distribution, and the PRNG fold — explicit child name
+    "Conv_0") is indistinguishable from the plain ``ConvBN`` it
+    replaces: checkpoints and the ONNX importer see the same layer.
+    """
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
+class _SplitSumOut(nn.Module):
+    """``ConvBN(features, 1, 1)(concat([a, b]))`` without the concat.
+
+    concat([a, b]) @ W == a @ W[:h] + b @ W[h:] — the 1x1 conv is
+    linear in its input channels, so slicing the kernel is exact in
+    exact arithmetic (bf16 MXU accumulation is f32 either way; the
+    final rounding of the two-partial sum can differ in the last ulp).
+    Skipping the concat avoids materializing + relayouting the
+    full-width activation in HBM; measured 2x on the detector's dark2
+    geometry (docs/PERF.md, tools/perf_probe.py --stages dark2var).
+
+    Param tree matches ConvBN (Conv_0/kernel + BatchNorm_0) so the
+    variants share checkpoints. NOTE: the kernel here is not created by
+    an ``nn.Conv.__call__``, so tools/import_onnx.py's execution-order
+    interceptor cannot see it — keep splitsum OFF when importing
+    weights (imports run on CPU, where the build_bundle gate already
+    disables it).
+    """
+
+    features: int
+    act: Callable | None = nn.silu
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, a, b):
+        import jax
+
+        cin = a.shape[-1] + b.shape[-1]
+        kernel = _ConvKernel((1, 1, cin, self.features), name="Conv_0")()
+        k = kernel.astype(self.dtype)
+        h = a.shape[-1]
+        dn = ("NHWC", "HWIO", "NHWC")
+        ya = jax.lax.conv_general_dilated(
+            a.astype(self.dtype), k[:, :, :h, :], (1, 1), "VALID",
+            dimension_numbers=dn)
+        yb = jax.lax.conv_general_dilated(
+            b.astype(self.dtype), k[:, :, h:, :], (1, 1), "VALID",
+            dimension_numbers=dn)
+        x = nn.BatchNorm(use_running_average=True, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype,
+                         name="BatchNorm_0")(ya + yb)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
 class CSPLayer(nn.Module):
-    """Cross-stage-partial layer (YOLOX "CSPLayer" / C3)."""
+    """Cross-stage-partial layer (YOLOX "CSPLayer" / C3).
+
+    splitsum=True computes the output 1x1 ConvBN as a concat-free
+    split-sum (see _SplitSumOut) — same params, same math; measured 2x
+    on dark2's low-MFU geometry on v5e, where the 160-channel concat
+    forces an activation relayout between the branches.
+    """
 
     features: int
     n: int = 1
     shortcut: bool = True
     expansion: float = 0.5
+    splitsum: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -99,6 +169,9 @@ class CSPLayer(nn.Module):
         b = ConvBN(hidden, 1, 1, dtype=self.dtype)(x)
         for _ in range(self.n):
             a = Bottleneck(hidden, self.shortcut, 1.0, dtype=self.dtype)(a)
+        if self.splitsum:
+            return _SplitSumOut(self.features, dtype=self.dtype,
+                                name="ConvBN_2")(a, b)
         y = jnp.concatenate([a, b], axis=-1)
         return ConvBN(self.features, 1, 1, dtype=self.dtype)(y)
 

@@ -51,23 +51,35 @@ def _w(c: int, width: float) -> int:
 
 
 class CSPDarknet(nn.Module):
+    """splitsum_csp: backbone CSP indices (0=dark2..3=dark5) lowered
+    with the concat-free split-sum output stage (models/common.py::
+    _SplitSumOut — same params, same math; measured 2x on dark2's
+    low-MFU geometry on v5e). Index 0 is the production TPU default
+    via build_bundle; the high-MFU later stages keep the concat form.
+    """
+
     depth: float
     width: float
+    splitsum_csp: Tuple[int, ...] = ()
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         d, w, dt = self.depth, self.width, self.dtype
+        ss = self.splitsum_csp
         x = Focus(_w(64, w), 3, dtype=dt)(x)                       # stem /2
         x = ConvBN(_w(128, w), 3, 2, dtype=dt)(x)                  # dark2 /4
-        x = CSPLayer(_w(128, w), _d(3, d), dtype=dt)(x)
+        x = CSPLayer(_w(128, w), _d(3, d), splitsum=0 in ss, dtype=dt)(x)
         x = ConvBN(_w(256, w), 3, 2, dtype=dt)(x)                  # dark3 /8
-        x = c3 = CSPLayer(_w(256, w), _d(9, d), dtype=dt)(x)
+        x = c3 = CSPLayer(_w(256, w), _d(9, d), splitsum=1 in ss,
+                          dtype=dt)(x)
         x = ConvBN(_w(512, w), 3, 2, dtype=dt)(x)                  # dark4 /16
-        x = c4 = CSPLayer(_w(512, w), _d(9, d), dtype=dt)(x)
+        x = c4 = CSPLayer(_w(512, w), _d(9, d), splitsum=2 in ss,
+                          dtype=dt)(x)
         x = ConvBN(_w(1024, w), 3, 2, dtype=dt)(x)                 # dark5 /32
         x = SPPBottleneck(_w(1024, w), dtype=dt)(x)
-        c5 = CSPLayer(_w(1024, w), _d(3, d), shortcut=False, dtype=dt)(x)
+        c5 = CSPLayer(_w(1024, w), _d(3, d), shortcut=False,
+                      splitsum=3 in ss, dtype=dt)(x)
         return c3, c4, c5
 
 
@@ -134,11 +146,14 @@ class YOLOX(nn.Module):
     num_classes: int = 4
     depth: float = 1.33
     width: float = 1.25
+    splitsum_csp: Tuple[int, ...] = ()
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, images):
-        feats = CSPDarknet(self.depth, self.width, dtype=self.dtype)(images)
+        feats = CSPDarknet(self.depth, self.width,
+                           splitsum_csp=self.splitsum_csp,
+                           dtype=self.dtype)(images)
         feats = PAFPN(self.depth, self.width, dtype=self.dtype)(feats)
         outs = DecoupledHead(self.num_classes, self.width,
                              dtype=self.dtype)(feats)

@@ -467,8 +467,16 @@ def frame_step_batched(
 
 
 def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
-                        pipe_cfg, reid_bucket=None, face_bucket=None):
-    """Everything before the cascade, batched over leading dim B."""
+                        pipe_cfg, reid_bucket=None, face_bucket=None,
+                        _truncate=None):
+    """Everything before the cascade, batched over leading dim B.
+
+    _truncate: debug/profiling hook (tools/perf_probe.py --stages
+    batchedbisect): return early after the named level ("resize",
+    "det", "nms", "hier", "bodyenc", "faceenc") with a small
+    level-dependent array instead of the full tuple, so stage deltas
+    can be timed in-context without duplicating this function.
+    """
     b = frames_bgr.shape[0]
     src_h, src_w = frames_bgr.shape[1], frames_bgr.shape[2]
     in_h, in_w = pipe_cfg.detector_input_hw
@@ -482,9 +490,13 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
     det_in = jax.vmap(
         lambda f: jax.image.resize(f, (in_h, in_w, 3), method="linear")
     )(frames_f)
+    if _truncate == "resize":
+        return det_in[:, ::97, ::89, 0]
 
     cand_boxes, cand_scores = bundle.detector.apply(
         bundle.detector_params, det_in)
+    if _truncate == "det":
+        return cand_boxes[:, ::531, 0]
 
     def per_stream_nms(cb, cs):
         dets = nms.multiclass_nms_dense(
@@ -499,6 +511,8 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
 
     det_boxes, det_scores, det_valid, nms_clipped = jax.vmap(
         per_stream_nms)(cand_boxes, cand_scores)       # [B, C, K, ...]
+    if _truncate == "nms":
+        return det_boxes[:, 0, :, 0]
 
     # Hierarchy: 3 problems per stream -> one 3B-problem lockstep scan.
     problems = []
@@ -512,6 +526,8 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
              det_boxes[s, hands], det_valid[s, hands], 2),
         ]
     results = hierarchy.greedy_assign_batch(problems)
+    if _truncate == "hier":
+        return jnp.stack([results[3 * s + 1][0] for s in range(b)])
 
     body_tlbr = det_boxes[:, bodies, :d]
     body_scores = det_scores[:, bodies, :d]
@@ -536,6 +552,8 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
     body_feats = _encode_chunked_axis1(
         encode_body, body_tlbr_p, n_live, r,
         tracker_cfg.body_feature_dim, static_bucket=reid_bucket)[:, :d]
+    if _truncate == "bodyenc":
+        return body_feats[:, :, 0]
 
     face_tlbr_list = []
     has_face_list = []
@@ -567,6 +585,8 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
         tracker_cfg.face_feature_dim,
         static_bucket=reid_bucket if face_bucket is None
         else face_bucket)[:, :d]
+    if _truncate == "faceenc":
+        return face_feats[:, :, 0]
 
     hier = (
         jnp.stack([results[3 * s + 1][0] for s in range(b)]),

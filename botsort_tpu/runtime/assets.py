@@ -149,15 +149,18 @@ def build_bundle(
     models run bf16 anyway — numerically identical to flax's per-use
     cast, halves per-step weight traffic).
 
-    dgfa: lower the body ReID's first two stages' split-attention
-    blocks as block-diagonal dense convs + lane-sliced attention
-    (models/fastreid.py) — mathematically exact, same param tree,
-    measured -18% full-encoder time at b64 on v5e (docs/PERF.md
-    "SplAt lowering"). None = auto: on only when the backend is TPU.
-    The trick doubles the grouped convs' nominal FLOPs to fill idle
-    MXU lanes, which is a pure loss on CPU (and large dense-grouped
-    convs have triggered XLA:CPU LLVM JIT segfaults in long-lived
-    many-program processes, e.g. the full pytest suite).
+    dgfa: TPU relowering gate (exact math, same param trees; None =
+    auto: on only when the backend is TPU). Gates (a) the body ReID's
+    first two stages' split-attention blocks as block-diagonal dense
+    convs + lane-sliced attention (models/fastreid.py; measured -18%
+    full-encoder time at b64 on v5e, docs/PERF.md "SplAt lowering")
+    and (b) the detector's dark2 CSP output stage as a concat-free
+    split-sum (models/common.py::_SplitSumOut; measured 2x on that
+    segment). Off on CPU: dense-grouped convs double nominal FLOPs
+    (pure loss off-MXU) and have triggered XLA:CPU LLVM JIT segfaults
+    in long-lived many-program processes (e.g. the full pytest suite),
+    and weight IMPORT relies on every kernel being created by an
+    nn.Conv call (tools/import_onnx.py execution-order interceptor).
     """
     if not mini:
         ensure_checkpoints(
@@ -166,9 +169,14 @@ def build_bundle(
                                                 width=1.25)
     body_kw = MINI["body"] if mini else {}
     face_kw = MINI["face"] if mini else {}
-    detector = YOLOX(dtype=dtype, **det_kw)
     if dgfa is None:
         dgfa = jax.default_backend() == "tpu"
+    # splitsum rides the same gate: concat-free CSP output stage on
+    # dark2 (same params/math; 2x on its low-MFU geometry on v5e —
+    # docs/PERF.md "dark2"). Off on CPU, where imports/tests run, so
+    # the importer's execution-order interceptor always sees nn.Conv.
+    detector = YOLOX(dtype=dtype,
+                     splitsum_csp=(0,) if dgfa else (), **det_kw)
     body = FastReIDSBS(dtype=dtype,
                        dgfa_stages=(0, 1) if dgfa else (), **body_kw)
     face = FaceReID(dtype=dtype, **face_kw)

@@ -1360,6 +1360,62 @@ def main():
         print(json.dumps({"stage": "loaded_full",
                           "ms": round(sec * 1e3, 3)}), flush=True)
 
+    if "batchedbisect" in stages:
+        # In-context truncation bisection of the 8-stream BATCHED step
+        # (the batched_8stream_aggregate_fps program: moderate-16
+        # config, bucket 16, b=8). Levels ride _perception_batched's
+        # _truncate hook — one source of truth, no duplicated pipeline.
+        # Deltas attribute the ~34 ms batched step: 8x resize,
+        # detector b8, NMS/hier, 128-crop body encode, face encode,
+        # vmapped cascades (full - faceenc).
+        import dataclasses as _dc
+
+        from botsort_tpu.pipeline import frame_step as fs
+        from botsort_tpu.track.state import empty_store
+
+        cfg = _dc.replace(
+            TrackerConfig(det_score_threshold=0.2, track_high_thresh=0.15,
+                          track_low_thresh=0.02, new_track_thresh=0.2),
+            max_dets=16)
+        nms_cfg, pipe_cfg = NMSConfig(), PipelineConfig()
+        B = 8
+        kk = min(args.k, 8)
+        # Ship 4 distinct 1080p frames through the tunnel, tile to
+        # (kk, B, ...) on device (a direct host transfer would be
+        # ~kk*B*6 MB).
+        f4 = jnp.stack([
+            jnp.asarray(rng.integers(0, 255, (1080, 1920, 3)), jnp.uint8)
+            for _ in range(4)])
+        frames_kb = jnp.tile(f4[:, None], (kk // 4, B, 1, 1, 1))
+
+        def build(level):
+            def step(bdl, s, frames_b):
+                out = fs._perception_batched(
+                    bdl, frames_b, cfg, nms_cfg, pipe_cfg,
+                    reid_bucket=16, face_bucket=16, _truncate=level)
+                return s, out
+            return step
+
+        for level in ("resize", "det", "nms", "hier", "bodyenc",
+                      "faceenc"):
+            sec = time_scan(build(level), bundle, jnp.zeros(()),
+                            frames_kb, kk)
+            print(json.dumps({"stage": f"batched8_{level}",
+                              "ms": round(sec * 1e3, 3)}), flush=True)
+
+        one = empty_store(cfg)
+        stores = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), one)
+
+        def step_full(bdl, s, frames_b):
+            s2, out = fs.frame_step_batched(
+                bdl, s, frames_b, cfg, nms_cfg, pipe_cfg, None, 16, 16)
+            return s2, out.tracks.valid
+
+        sec = time_scan(step_full, bundle, stores, frames_kb, kk)
+        print(json.dumps({"stage": "batched8_full",
+                          "ms": round(sec * 1e3, 3)}), flush=True)
+
     if "emptyiso" in stages:
         # Follow-ups to emptybisect's finding (tracker_update costs
         # 4.7 ms when fed detector-derived inputs vs 0.32 standalone):
