@@ -1143,6 +1143,99 @@ def main():
                 "stage": f"cascade_d{d}_live{n_valid}",
                 "ms": round(sec * 1e3, 3)}))
 
+    if "batchedcasc" in stages:
+        # Attribute the batched step's ~4.4 ms cascade tail
+        # (batchedbisect full - faceenc): is it the B-grid Pallas
+        # solver (sequential grid steps on the one TensorCore) or the
+        # vmapped KF/lifecycle/assembly around it? Times, at the
+        # 8-stream moderate-16 geometry (N=64 slots x D=16 dets):
+        #   vmapped solve_cascade_masked alone   (solver share)
+        #   vmapped tracker_update               (whole cascade)
+        import dataclasses as _dc
+
+        from botsort_tpu.ops.assignment import solve_cascade_masked
+        from botsort_tpu.track.cascade import tracker_update
+        from botsort_tpu.track.state import empty_store
+
+        B, d = 8, 16
+        cfg = _dc.replace(
+            TrackerConfig(det_score_threshold=0.2, track_high_thresh=0.15,
+                          track_low_thresh=0.05, new_track_thresh=0.2),
+            max_dets=d)
+        n = cfg.max_tracks
+        kk = args.k
+
+        # Feasible scene: per stream, dets jitter around persistent
+        # anchor boxes so pass-1 has real (non-parked) matches; track
+        # stores warm up over the scan so live rows exist.
+        anchors = rng.uniform(50, 900, (B, d, 2)).astype(np.float32)
+        jit_xy = rng.normal(0, 6, (kk, B, d, 2)).astype(np.float32)
+        wh = rng.uniform(40, 120, (B, d, 2)).astype(np.float32)
+        tl = anchors[None] + jit_xy
+        tlbr = jnp.asarray(np.concatenate([tl, tl + wh[None]], -1))
+        scores = jnp.asarray(rng.uniform(0.2, 1, (kk, B, d)), jnp.float32)
+        valid = jnp.ones((kk, B, d), bool)
+        bf = rng.normal(size=(B, d, 2048)).astype(np.float32)
+        bf = bf / np.linalg.norm(bf, axis=-1, keepdims=True)
+        bfk = jnp.asarray(np.broadcast_to(bf, (kk, B, d, 2048)).copy())
+        ff = rng.normal(size=(B, d, 256)).astype(np.float32)
+        ff = ff / np.linalg.norm(ff, axis=-1, keepdims=True)
+        ffk = jnp.asarray(np.broadcast_to(ff, (kk, B, d, 256)).copy())
+
+        one = empty_store(cfg)
+        stores0 = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), one)
+
+        def step_full(p, s, xs):
+            t, sc, v, b_, f_ = xs
+            s2, tr = jax.vmap(
+                lambda st, a1, a2, a3, a4, a5: tracker_update(
+                    st, a1, a2, a3, a4, a5, cfg))(s, t, sc, v, b_, f_)
+            return s2, tr.valid
+
+        sec = time_scan(step_full, jnp.zeros(()), stores0,
+                        (tlbr, scores, valid, bfk, ffk), kk)
+        print(json.dumps({"stage": f"batchedcasc_full_B{B}_d{d}",
+                          "ms": round(sec * 1e3, 3)}), flush=True)
+
+        # Solver share: fixed realistic masks (16 live tracked rows),
+        # cost matrices recomputed per step from the same det stream.
+        pool_m = jnp.zeros((B, n), bool).at[:, :d].set(True)
+        tracked_m = pool_m
+        unconf_m = jnp.zeros((B, n), bool)
+        track_tlbr = jnp.asarray(np.concatenate(
+            [anchors, anchors + wh], -1))  # [B, d, 4]
+        track_pad = jnp.zeros((B, n, 4), jnp.float32
+                              ).at[:, :d].set(track_tlbr)
+        bf_track = jnp.zeros((B, n, 2048), jnp.float32
+                             ).at[:, :d].set(jnp.asarray(bf))
+
+        from botsort_tpu.ops.boxes import iou_distance
+
+        def step_solve(p, s, xs):
+            t, sc, v, b_, f_ = xs
+
+            def one_stream(tp, bt, t_, sc_, b2):
+                iou_d = iou_distance(tp, t_)
+                body_d = 1.0 - bt @ b2.T
+                d1 = jnp.minimum(iou_d, body_d)
+                high = sc_ > cfg.track_high_thresh
+                low = (sc_ >= cfg.track_low_thresh) & ~high
+                r1, r2, r3 = solve_cascade_masked(
+                    d1, iou_d, d1, pool_m[0], tracked_m[0], unconf_m[0],
+                    high, low,
+                    (cfg.match_thresh, cfg.second_match_thresh,
+                     cfg.unconfirmed_match_thresh))
+                return r1.col_for_row + r2.col_for_row + r3.col_for_row
+
+            out = jax.vmap(one_stream)(track_pad, bf_track, t, sc, b_)
+            return s, out
+
+        sec = time_scan(step_solve, jnp.zeros(()), jnp.zeros(()),
+                        (tlbr, scores, valid, bfk, ffk), kk)
+        print(json.dumps({"stage": f"batchedcasc_solver_B{B}_d{d}",
+                          "ms": round(sec * 1e3, 3)}), flush=True)
+
     if "emptybisect" in stages:
         # In-context truncation bisection of the EMPTY config (width-50
         # slots, bucket-0 encoders): the composed program costs ~7.6 ms
