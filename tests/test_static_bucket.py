@@ -48,15 +48,15 @@ def bundle():
     return build_bundle(mini=True)
 
 
-def _run_frames(bundle, frames, bucket_for=None):
+def _run_frames(bundle, frames, bucket_for=None, trk=TRK):
     """bucket_for: optional fn(frame_idx) -> reid_bucket."""
-    store = empty_store(TRK)
+    store = empty_store(trk)
     outs = []
     for i, f in enumerate(frames):
         kw = {}
         if bucket_for is not None:
             kw["reid_bucket"] = bucket_for(i)
-        store, res = fs.frame_step(bundle, store, jnp.asarray(f), TRK,
+        store, res = fs.frame_step(bundle, store, jnp.asarray(f), trk,
                                    NMSC, PIPE, None, **kw)
         outs.append(jax.device_get(res))
     return outs
@@ -80,15 +80,30 @@ def test_full_bucket_matches_dynamic(bundle):
 
 
 def test_mid_bucket_matches_dynamic_when_sufficient(bundle):
-    """Bucket 4 must match dynamic whenever <= 4 bodies are live."""
+    """Bucket 4 must match dynamic whenever <= 4 bodies are live.
+
+    The body count comes from random-init models on random pixels, so
+    instead of skipping when the scene is too busy (a parity contract
+    must always run), derive a det-score cut that caps live bodies at 4
+    per frame and run both paths under it."""
+    import dataclasses
+
     rng = np.random.default_rng(8)
     frames = rng.integers(0, 255, (4, 240, 320, 3), dtype=np.uint8)
-    dyn = _run_frames(bundle, frames)
+    probe = _run_frames(bundle, frames)
+    cut = TRK.det_score_threshold
+    for r in probe:
+        valid = np.asarray(r.det_valid[0][:8])
+        s = np.asarray(r.det_scores[0][:8])[valid]
+        if len(s) > 4:
+            # det_valid uses strict >, so the 5th-highest score keeps
+            # exactly the top 4 (scores are continuous -> distinct).
+            cut = max(cut, float(np.sort(s)[-5]))
+    trk = dataclasses.replace(TRK, det_score_threshold=cut)
+    dyn = _run_frames(bundle, frames, trk=trk)
     n_live = [int(np.asarray(r.det_valid[0][:8]).sum()) for r in dyn]
-    if max(n_live) > 4:
-        pytest.skip(f"scene produced {max(n_live)} bodies; bucket-4 "
-                    "contract does not apply")
-    stat = _run_frames(bundle, frames, bucket_for=lambda i: 4)
+    assert 1 <= max(n_live) <= 4, n_live
+    stat = _run_frames(bundle, frames, bucket_for=lambda i: 4, trk=trk)
     for a, b in zip(dyn, stat):
         assert _tracks_tuple(a) == _tracks_tuple(b)
 

@@ -16,8 +16,6 @@ import numpy as np
 def main():
     import dataclasses
 
-    import jax
-
     from bench import run_batched, tunnel_floor_s
     from botsort_tpu.config import NMSConfig, PipelineConfig, TrackerConfig
     from botsort_tpu.runtime.assets import build_bundle
@@ -37,9 +35,8 @@ def main():
               for _ in range(4)]
     floor = tunnel_floor_s()
     print(json.dumps({"floor_ms": round(floor * 1e3, 1)}), flush=True)
-    import sys as _sys
-    bs = tuple(int(x) for x in _sys.argv[1].split(",")) \
-        if len(_sys.argv) > 1 else (6, 8, 12, 16)
+    bs = tuple(int(x) for x in sys.argv[1].split(",")) \
+        if len(sys.argv) > 1 else (6, 8, 12, 16)
     for b in bs:
         fps = run_batched(bundle, moderate_cfg, nms_cfg, pipe_cfg,
                           frames, empty_store, b=b, k=8,

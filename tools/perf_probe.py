@@ -1151,6 +1151,10 @@ def main():
         # 8-stream moderate-16 geometry (N=64 slots x D=16 dets):
         #   vmapped solve_cascade_masked alone   (solver share)
         #   vmapped tracker_update               (whole cascade)
+        # NOTE: the "solver share" number also includes per-step cost-
+        # matrix construction (iou_distance over 64x16 plus a
+        # [64,2048]@[2048,16] matmul per stream) — small next to the
+        # solver, but read it as solver+costs, not solver alone.
         import dataclasses as _dc
 
         from botsort_tpu.ops.assignment import solve_cascade_masked
@@ -1160,7 +1164,7 @@ def main():
         B, d = 8, 16
         cfg = _dc.replace(
             TrackerConfig(det_score_threshold=0.2, track_high_thresh=0.15,
-                          track_low_thresh=0.05, new_track_thresh=0.2),
+                          track_low_thresh=0.02, new_track_thresh=0.2),
             max_dets=d)
         n = cfg.max_tracks
         kk = args.k
