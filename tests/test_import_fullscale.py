@@ -1,0 +1,167 @@
+"""Full-scale importer dress rehearsal (no egress, so no real release
+binaries — VERDICT r3 #6).
+
+For each of the three REAL architectures at their full layer counts and
+channel widths — YOLOX-X (depth 1.33 / width 1.25, the
+yolox_x_..._post graph), FastReID SBS-S50, and
+face-reidentification-retail-0095 — this test:
+
+  1. draws a full-scale parameter tree,
+  2. wire-encodes it as a real .onnx protobuf via tools/onnx_lite's
+     writer, with the release graphs' structural noise: interleaved
+     activations, an Identity-wrapped conv weight, and a
+     post-processing tail matching each release's name — the detector's
+     "post" NMS/decode tail, the ReID models' "post_feature_only"
+     L2-normalize tail (README.md:183-195),
+  3. runs the real CLI (tools/import_onnx.main, NOT --mini): parse ->
+     layer extraction -> order alignment -> convert -> orbax save,
+  4. restores the checkpoint and asserts BITWISE equality of every
+     tensor against the source tree (bitwise-equal params + identical
+     model code == bitwise-equal forwards), and
+  5. runs one real forward through restored params (the face model —
+     cheap at full scale) as an apply-path smoke check.
+
+This exercises import_onnx end-to-end at the exact layer counts the
+three release files carry, so first contact with the real binaries
+only has to survive wire-format details, not mapping scale.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import sys
+
+sys.path.insert(0, "tools")
+sys.path.insert(0, ".")
+import import_onnx  # noqa: E402
+
+from tools import onnx_lite  # noqa: E402
+from tests.test_import_mapping import synth_onnx_layers  # noqa: E402
+from tests.test_import_adversarial import (  # noqa: E402
+    _encode_with_tail,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    # Full-scale model inits are the largest programs the suite
+    # compiles; shed live executables first (XLA:CPU JIT resource
+    # cliff — see CLAUDE.md).
+    jax.clear_caches()
+    yield
+    jax.clear_caches()
+
+
+def _feature_tail(layers):
+    """Wire-encode `layers` + the ReID releases' "post_feature_only"
+    tail: L2-normalize (ReduceL2 -> Clip -> Div) on the feature output
+    and the fused similarity matmul against `target_features`
+    (README.md:185-195). All weightless — the importer must skip every
+    node of it."""
+    nodes, inits = [], []
+    value = "x"
+    for idx, (kind, arrs) in enumerate(layers):
+        out = f"t{idx}"
+        if kind == "conv":
+            wname = f"w{idx}"
+            inits.append(onnx_lite.encode_tensor(wname, arrs["kernel"]))
+            inputs = [value, wname]
+            if arrs.get("bias") is not None:
+                bname = f"b{idx}"
+                inits.append(onnx_lite.encode_tensor(bname, arrs["bias"]))
+                inputs.append(bname)
+            nodes.append(onnx_lite.encode_node(
+                "Conv", inputs, [out], name=f"conv_{idx}"))
+            nodes.append(onnx_lite.encode_node(
+                "Relu", [out], [out + "_act"], name=f"act_{idx}"))
+            out += "_act"
+        elif kind == "bn":
+            names = []
+            for part in ("scale", "bias", "mean", "var"):
+                nm = f"{part}{idx}"
+                inits.append(onnx_lite.encode_tensor(nm, arrs[part]))
+                names.append(nm)
+            nodes.append(onnx_lite.encode_node(
+                "BatchNormalization", [value] + names, [out],
+                name=f"bn_{idx}"))
+        else:  # gemm
+            wname = f"w{idx}"
+            inits.append(onnx_lite.encode_tensor(wname, arrs["kernel"]))
+            inputs = [value, wname]
+            if arrs.get("bias") is not None:
+                bname = f"b{idx}"
+                inits.append(onnx_lite.encode_tensor(bname, arrs["bias"]))
+                inputs.append(bname)
+            nodes.append(onnx_lite.encode_node(
+                "Gemm", inputs, [out], name=f"gemm_{idx}",
+                int_attrs={"transB": int(arrs.get("transB") or 0)}))
+        value = out
+    for op, ins, outs in [
+        ("ReduceL2", [value], ["feat_norm"]),
+        ("Clip", ["feat_norm"], ["feat_norm_c"]),
+        ("Div", [value, "feat_norm_c"], ["features"]),
+        ("Transpose", ["features"], ["features_t"]),
+        ("MatMul", ["target_features", "features_t"], ["similarities"]),
+    ]:
+        nodes.append(onnx_lite.encode_node(op, ins, outs,
+                                           name=f"tail_{op}"))
+    return onnx_lite.encode_model(nodes, inits)
+
+
+def _roundtrip(name, encode, tmp_path):
+    model, sample = import_onnx.build_model(name)   # FULL scale
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
+    # A topologically-sorted ONNX export lists weights in module CALL
+    # order — which at full scale diverges from flatten (name-sort)
+    # order; synthesize the wire file the way a real export is laid out.
+    entries = import_onnx.ordered_flax_entries(model, sample, params)
+    layers = synth_onnx_layers(entries)
+    onnx_path = tmp_path / f"{name}.onnx"
+    onnx_path.write_bytes(encode(layers))
+
+    out_dir = tmp_path / "weights" / name
+    rc = import_onnx.main([
+        "--model", name, "--onnx", str(onnx_path), "--out", str(out_dir)])
+    assert rc == 0
+
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(
+        str(out_dir.resolve()),
+        jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params))
+    flat_src = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_got = jax.tree_util.tree_flatten_with_path(restored)[0]
+    assert len(flat_src) == len(flat_got)
+    n_tensors = 0
+    for (pa, a), (pb, b) in zip(flat_src, flat_got):
+        assert pa == pb
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"{name}: tensor {pa} not bitwise-equal")
+        n_tensors += 1
+    # Full layer counts actually exercised, not a shrunken graph.
+    return model, params, restored, n_tensors
+
+
+def test_fullscale_yolox_roundtrip_bitwise(tmp_path):
+    _, _, _, n = _roundtrip("yolox", _encode_with_tail, tmp_path)
+    assert n > 600  # YOLOX-X: ~250 convs x (kernel+bias/BN tuples)
+
+
+def test_fullscale_fastreid_roundtrip_bitwise(tmp_path):
+    _, _, _, n = _roundtrip("fastreid", _feature_tail, tmp_path)
+    assert n > 300  # SBS-S50: ResNeSt-50 conv/BN stack + BNNeck
+
+
+def test_fullscale_facereid_roundtrip_bitwise_and_forward(tmp_path):
+    model, params, restored, n = _roundtrip(
+        "facereid", _feature_tail, tmp_path)
+    assert n > 100
+    x = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 1, (1, 128, 128, 3)).astype(np.float32))
+    a = model.apply(params, x)
+    b = model.apply(restored, x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
