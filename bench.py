@@ -101,10 +101,47 @@ def check_jv_on_device(trials: int = 4, seed: int = 7) -> None:
                     == np.asarray(got.col_for_row)).all(), "cascade fused"
             assert (np.asarray(want.row_for_col)
                     == np.asarray(got.row_for_col)).all(), "cascade fused"
+    # The multi-stream path vmaps the cascade, which routes to the
+    # LOCKSTEP kernel (all streams advance one Dijkstra pop per step);
+    # verify it against per-stream composition at the production shape
+    # with per-stream-varied instances.
+    B = 8
+    n, m = 64, 50
+    insts = []
+    for _ in range(B):
+        d1, iou3, d3 = (jnp.asarray(
+            rng.uniform(0, 1, (n, m)).astype(np.float32))
+            for _ in range(3))
+        pool = jnp.asarray(rng.uniform(0, 1, n) < 0.6)
+        tracked = pool & jnp.asarray(rng.uniform(0, 1, n) < 0.7)
+        unconf = (~pool) & jnp.asarray(rng.uniform(0, 1, n) < 0.4)
+        high = jnp.asarray(rng.uniform(0, 1, m) < 0.6)
+        low = (~high) & jnp.asarray(rng.uniform(0, 1, m) < 0.5)
+        insts.append((d1, iou3, d3, pool, tracked, unconf, high, low))
+    lims = (0.8, 0.5, 0.7)
+    batched = [jnp.stack(x) for x in zip(*insts)]
+    fused_b = jax.jit(jax.vmap(
+        lambda a, b, c, p, t, u, h, l: assignment.solve_cascade_masked(
+            a, b, c, p, t, u, h, l, lims)))(*batched)
+    for bi, inst in enumerate(insts):
+        d1, iou3, d3, pool, tracked, unconf, high, low = inst
+        res1 = assignment.solve_masked(d1, pool, high, lims[0])
+        rv2 = tracked & (res1.col_for_row < 0)
+        res2 = assignment.solve_masked(iou3, rv2, low, lims[1])
+        leftover = high & (res1.row_for_col < 0)
+        res3 = assignment.solve_masked(d3, unconf, leftover, lims[2])
+        for want, got in zip((res1, res2, res3), fused_b):
+            assert (np.asarray(want.col_for_row)
+                    == np.asarray(got.col_for_row[bi])).all(), (
+                "lockstep cascade mismatch")
+            assert (np.asarray(want.row_for_col)
+                    == np.asarray(got.row_for_col[bi])).all(), (
+                "lockstep cascade mismatch")
+
     import sys
 
-    print(f"JV + fused-cascade on-device checks passed "
-          f"({trials} instances each)", file=sys.stderr)
+    print(f"JV + fused-cascade (incl. {B}-stream lockstep) on-device "
+          f"checks passed ({trials} instances each)", file=sys.stderr)
 
 
 def tunnel_floor_s(reps: int = 6) -> float:
@@ -130,9 +167,23 @@ def tunnel_floor_s(reps: int = 6) -> float:
     return best
 
 
+def fps_stats(times_s, units, floor_s):
+    """Per-rep throughputs -> {best, median, spread_pct}.
+
+    The driver reproduces session bests 10-15% lower (VERDICT r3);
+    medians + spread make the claim-grade number and its stability
+    visible in every BENCH_r*.json.
+    """
+    fps = sorted(units / max(t - floor_s, 1e-9) for t in times_s)
+    n = len(fps)
+    med = fps[n // 2] if n % 2 else 0.5 * (fps[n // 2 - 1] + fps[n // 2])
+    return {"best": fps[-1], "median": med,
+            "spread_pct": 100.0 * (fps[-1] - fps[0]) / med}
+
+
 def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
                empty_store, k=32, reps=5, floor_s=0.0, reid_bucket=None,
-               face_bucket=None):
+               face_bucket=None, return_stats=False):
     """Device-side throughput: scan K frame-steps inside ONE program.
 
     The development TPU is reached through a tunnel whose latency varies
@@ -161,14 +212,17 @@ def run_config(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
     store, valid = run_k(bundle, store, frames_k)
     _ = jax.device_get(valid)
     compile_s = time.time() - t0
-    best = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         store, valid = run_k(bundle, store, frames_k)
         valid_np = jax.device_get(valid)
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
     n_tracks = int(np.asarray(valid_np)[-1].sum())
-    return k / max(best - floor_s, 1e-9), compile_s, n_tracks
+    stats = fps_stats(times, k, floor_s)
+    if return_stats:
+        return stats, compile_s, n_tracks
+    return stats["best"], compile_s, n_tracks
 
 
 def run_host_path(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg,
@@ -192,7 +246,7 @@ def run_host_path(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg,
                             nms_cfg, pipe_cfg, None, reid_bucket,
                             face_bucket)
     _ = jax.device_get(res.tracks.valid)
-    best = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for i in range(k):
@@ -201,13 +255,13 @@ def run_host_path(frame_step, bundle, tracker_cfg, nms_cfg, pipe_cfg,
                 tracker_cfg, nms_cfg, pipe_cfg, None, reid_bucket,
                 face_bucket)
         _ = jax.device_get(res.tracks.valid)
-        best = min(best, time.perf_counter() - t0)
-    return k / max(best - floor_s, 1e-9)
+        times.append(time.perf_counter() - t0)
+    return fps_stats(times, k, floor_s)["best"]
 
 
 def run_batched(bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
                 empty_store, b=4, k=8, reps=4, floor_s=0.0,
-                reid_bucket=None):
+                reid_bucket=None, return_stats=False):
     """Aggregate FPS for b streams batched through one chip."""
     import jax
     import jax.numpy as jnp
@@ -232,13 +286,14 @@ def run_batched(bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
         lambda x: jnp.broadcast_to(x, (b,) + x.shape), one)
     stores, v = run_k(bundle, stores, frames_k)
     _ = jax.device_get(v)
-    best = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         stores, v = run_k(bundle, stores, frames_k)
         _ = jax.device_get(v)
-        best = min(best, time.perf_counter() - t0)
-    return b * k / max(best - floor_s, 1e-9)
+        times.append(time.perf_counter() - t0)
+    stats = fps_stats(times, b * k, floor_s)
+    return stats if return_stats else stats["best"]
 
 
 def main():
@@ -309,10 +364,11 @@ def main():
     face_bucket = next(b for b in buckets if face_need <= b)
     assert face_need <= face_bucket, (face_need, buckets)
 
-    fps_loaded, compile_s, n_tracks = run_config(
+    st_loaded, compile_s, n_tracks = run_config(
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
         empty_store, floor_s=floor_s, reid_bucket=buckets[-1],
-        face_bucket=face_bucket)
+        face_bucket=face_bucket, return_stats=True)
+    fps_loaded = st_loaded["median"]
     if n_tracks < d_width:
         raise SystemExit(
             f"ABORT: loaded config no longer saturates — {n_tracks} "
@@ -368,22 +424,27 @@ def main():
     # encoders run when >16 detections are live (tools/perf_probe.py).
     from tools.perf_probe import model_conv_flops
 
-    dp = 64  # padded crop width at max_dets=50, bucket granularity 16
+    # FLOPs at what the loaded config actually embeds: the top ReID
+    # bucket (50 crops — reid_bucket_set tops at the det width, not the
+    # dp=64 slot padding) and the derived face bucket. (Rounds 1-3
+    # modeled both encoders at 64 crops, overstating flops/frame and
+    # MFU by ~25%.)
     flops_frame = (
         model_conv_flops(bundle.detector, jnp.zeros((1, 480, 640, 3)))
         + model_conv_flops(bundle.body_encoder,
-                           jnp.zeros((dp, 256, 128, 3)))
+                           jnp.zeros((buckets[-1], 256, 128, 3)))
         + model_conv_flops(bundle.face_encoder,
-                           jnp.zeros((dp, 128, 128, 3))))
+                           jnp.zeros((max(face_bucket, 1), 128, 128, 3))))
 
     # Reference-typical scene: ~16 people (its demo videos run ~3-15;
     # its ReID engines were most exercised at small batches). max_dets
     # bounds the tracker/ReID width so the static shapes model a
     # 16-person scene.
     moderate_cfg = dataclasses.replace(loaded_cfg, max_dets=16)
-    fps_mod, _, _ = run_config(
+    st_mod, _, _ = run_config(
         frame_step, bundle, moderate_cfg, nms_cfg, pipe_cfg, frames,
-        empty_store, floor_s=floor_s, reid_bucket=16)
+        empty_store, floor_s=floor_s, reid_bucket=16, return_stats=True)
+    fps_mod = st_mod["median"]
 
     # The mot20_sbs_S50 384x128 body-ReID operating point (BASELINE
     # config 5 names it; the reference pre-builds TRT engines for ReID
@@ -399,15 +460,19 @@ def main():
     # load. (At the 50-body crowd load the chip is FLOP-bound — the
     # aggregate equals single-stream x MFU headroom, adding no
     # information.)
-    fps_batched = run_batched(bundle, moderate_cfg, nms_cfg, pipe_cfg,
-                              frames, empty_store, b=8, k=16,
-                              floor_s=floor_s, reid_bucket=16)
+    st_batched = run_batched(bundle, moderate_cfg, nms_cfg, pipe_cfg,
+                             frames, empty_store, b=8, k=16,
+                             floor_s=floor_s, reid_bucket=16,
+                             return_stats=True)
+    fps_batched = st_batched["median"]
 
     # BASELINE config 5 verbatim: 8 concurrent 1080p streams WITH the
     # mot20_sbs_S50 384x128 ReID geometry (1.5x the 256x128 pixel load).
-    fps_batched_384 = run_batched(bundle, moderate_cfg, nms_cfg,
-                                  pipe_384, frames, empty_store, b=8,
-                                  k=16, floor_s=floor_s, reid_bucket=16)
+    st_batched_384 = run_batched(bundle, moderate_cfg, nms_cfg,
+                                 pipe_384, frames, empty_store, b=8,
+                                 k=16, floor_s=floor_s, reid_bucket=16,
+                                 return_stats=True)
+    fps_batched_384 = st_batched_384["median"]
 
     # int8 PTQ, SCOPED to the mid-network (models/quantize.py
     # scope="mid"): full-model int8 measured net-negative on v5e/XLA
@@ -438,6 +503,10 @@ def main():
         "compile_s": round(compile_s, 1),
         "frame_ms": round(1000.0 / fps_loaded, 3),
         "live_tracks": n_tracks,
+        "loaded_best_fps": round(st_loaded["best"], 2),
+        "loaded_spread_pct": round(st_loaded["spread_pct"], 2),
+        "moderate16_spread_pct": round(st_mod["spread_pct"], 2),
+        "batched_8stream_spread_pct": round(st_batched["spread_pct"], 2),
         "host_path_fps": round(fps_host, 2),
         "empty_scene_fps": round(fps_empty, 2),
         "moderate16_fps": round(fps_mod, 2),
@@ -455,8 +524,9 @@ def main():
                                "vs_baseline divides by its 30 FPS "
                                "real-time RTX-30xx TRT-fp16 operating "
                                "point (README latency overlays)",
-        "notes": "device-side throughput (32-step in-program scan, best "
-                 "of 5, fixed dev-tunnel dispatch round-trip "
+        "notes": "device-side throughput (32-step in-program scan, "
+                 "MEDIAN of 5 reps — best + spread reported alongside, "
+                 "fixed dev-tunnel dispatch round-trip "
                  "subtracted): full pipeline under load — YOLOX-X det "
                  "+ bucketed SBS-S50 body ReID (50-crop top bucket) + face "
                  "ReID + fused cascade with live track pool, bf16 "

@@ -84,7 +84,9 @@ def main(argv=None):
 
     import jax
 
-    env_warn = stream_envelope_warning(b, jax.default_backend())
+    env_warn = stream_envelope_warning(
+        b, jax.default_backend(),
+        body_reid_input_hw=pipe_cfg.body_reid_input_hw)
     if env_warn:
         print(yellow(env_warn))
     if args.artifact_dir:

@@ -199,10 +199,13 @@ def main(argv=None):
             # program); the measured envelope documents how many
             # concurrent real-time streams this chip could hold if
             # batched via cli.multitrack instead.
-            print(f"capacity: ~{max_realtime_streams()} real-time "
-                  f"streams/chip batched via cli.multitrack "
-                  f"({aggregate_fps():.0f} FPS aggregate measured, "
-                  f"docs/PERF.md)")
+            from botsort_tpu.config import PipelineConfig
+
+            reid_hw = PipelineConfig().body_reid_input_hw
+            print(f"capacity: ~{max_realtime_streams(body_reid_input_hw=reid_hw)} "
+                  f"real-time streams/chip batched via cli.multitrack "
+                  f"({aggregate_fps(reid_hw):.0f} FPS aggregate at ReID "
+                  f"{reid_hw[0]}x{reid_hw[1]} measured, docs/PERF.md)")
         print(f"serving on {args.host}:{srv.server_address[1]}")
         try:
             srv.serve_forever()

@@ -28,6 +28,7 @@ The extended square problem is at most a few hundred wide, so everything
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INF = 1e30  # plain float: Pallas kernels cannot capture array constants
+
+
+def _lockstep_enabled() -> bool:
+    """vmap over streams routes to the lockstep kernel unless
+    BOTSORT_LOCKSTEP=0 (A/B escape hatch; the grid path remains the
+    single-instance implementation either way)."""
+    return os.environ.get("BOTSORT_LOCKSTEP", "1") != "0"
 
 
 def _jv_kernel(ext_ref, p0_ref, live_order_ref, n_live_ref, p_ref,
@@ -166,10 +174,10 @@ def _get_jv_call(max_iters: int, interpret: bool):
 
 
 def _shift_lanes(x, s: int):
-    """y[0, l] = x[0, l - s] (zeros shifted in); s static."""
+    """y[b, l] = x[b, l - s] (zeros shifted in); s static."""
     if s == 0:
         return x
-    z = jnp.zeros((1, s), x.dtype)
+    z = jnp.zeros((x.shape[0], s), x.dtype)
     return jnp.concatenate([z, x], axis=1)[:, :x.shape[1]]
 
 
@@ -349,6 +357,284 @@ def _cascade_kernel(cost_ref, pool_ref, tracked_ref, unconf_ref,
         jax.lax.fori_loop(0, s_total, outer, jnp.int32(0))
 
 
+def _cascade_kernel_ls(c0_ref, c1_ref, c2_ref, pool_ref, tracked_ref,
+                       unconf_ref, high1_ref, high3_ref, low_ref, big_ref,
+                       p_out, q_out, plive_out,
+                       minv_ref, way_ref, used_ref, onpath_ref, u_ref,
+                       v_ref, currow_ref, jfrom_ref, done_ref, jend_ref,
+                       rowbuf_ref,
+                       *, n_streams: int, n_rows: int, n_cols: int,
+                       limits, max_iters: int):
+    """LOCKSTEP multi-stream cascade: all B streams advance one Dijkstra
+    pop per sequential step on (B, sp) tiles.
+
+    The grid version (_cascade_kernel) serializes streams: B grid steps,
+    each a full 3-pass cascade of (1, sp) vector ops — 1/8 of the VPU's
+    sublanes, and total pops = SUM over streams. Measured at the
+    8-stream moderate-16 geometry that solver is 3.56 of the 3.76 ms
+    batched cascade tail (tools/casc_probe.py; docs/PERF.md). Here every
+    per-stream scalar of the pop (current row, j_from, done, augmenting
+    column) becomes a lane-broadcast (B, sp) vector, every vector op
+    covers all streams in one (8, 128) tile, and sequential pops become
+    the MAX over streams instead of the sum. The only per-stream scalar
+    work left is the B cost-row gathers per pop (dynamic-slice loads at
+    each stream's current row — Mosaic supports scalar-indexed ds).
+
+    Streams whose Dijkstra finished (or whose outer row is parked) are
+    frozen by masking every store with the per-stream active mask; the
+    outer row index is UNIFORM across streams (plain 0..s_total fori —
+    parked rows cost ~nothing, measured 0.126 ms for a fully-parked
+    8-stream problem).
+
+    Same math, same results as _cascade_kernel (oracle-fuzzed in
+    tests/test_assignment_pallas.py / test_cascade_solve.py).
+    """
+    sp = pool_ref.shape[1]
+    s_total = n_rows + n_cols
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)     # (1, sp)
+    big = big_ref[0, 0]
+    cost_refs = (c0_ref, c1_ref, c2_ref)
+
+    lane_real_col = (idx < n_cols).astype(jnp.int32)
+    lane_real_row = (idx < n_rows).astype(jnp.int32)
+    lane_in_s = (idx < s_total).astype(jnp.int32)
+
+    def at_lanes(vec, pos):
+        """vec, pos: (B, sp); pos lane-broadcast -> (B, 1) vec[b, pos[b]].
+        pos == sp (or any out-of-range) yields 0."""
+        return jnp.sum(jnp.where(idx == pos, vec, 0), axis=1,
+                       keepdims=True)
+
+    def at_lanes_f(vec, pos):
+        return jnp.sum(jnp.where(idx == pos, vec, 0.0), axis=1,
+                       keepdims=True)
+
+    for pass_i in range(3):
+        half = limits[pass_i] / 2.0
+        cost_ref = cost_refs[pass_i]
+        if pass_i == 0:
+            rv = pool_ref[:, :] * lane_real_row
+            cv = high1_ref[:, :] * lane_real_col
+        elif pass_i == 1:
+            q1 = q_out[0, :, :]
+            unmatched1 = jnp.where(q1 >= n_cols, 1, 0)
+            rv = tracked_ref[:, :] * unmatched1 * lane_real_row
+            cv = low_ref[:, :] * lane_real_col
+        else:
+            plive1 = plive_out[0, :, :]
+            rv = unconf_ref[:, :] * lane_real_row
+            cv = high3_ref[:, :] * (1 - plive1) * lane_real_col
+        rv_shift = _shift_lanes(rv, n_cols)
+        cv_shift = _shift_lanes(cv, n_rows)
+        live_vec = rv + cv_shift
+
+        p_init = jnp.where(
+            lane_real_col == 1,
+            jnp.where(cv == 0, n_rows + idx, -1),
+            jnp.where(lane_in_s == 1,
+                      jnp.where(rv_shift == 0, idx - n_cols, -1),
+                      idx))
+        q_init = jnp.where(
+            (idx < n_rows).astype(jnp.int32) == 1,
+            jnp.where(rv == 0, n_cols + idx, -1),
+            jnp.where(lane_in_s == 1,
+                      jnp.where(cv_shift == 0, idx - n_rows, -1),
+                      idx))
+        p_out[pass_i, :, :] = p_init
+        q_out[pass_i, :, :] = q_init
+        plive_out[pass_i, :, :] = jnp.zeros((n_streams, sp), jnp.int32)
+        u_ref[:, :] = jnp.zeros((n_streams, sp), jnp.float32)
+        v_ref[:, :] = jnp.zeros((n_streams, sp), jnp.float32)
+
+        def outer(r0, carry):
+            rv_i = at_lanes(live_vec, jnp.zeros((n_streams, sp),
+                                                jnp.int32) + r0)  # (B,1)
+            minv_ref[:, :] = jnp.full((n_streams, sp), _INF, jnp.float32)
+            way_ref[:, :] = jnp.full((n_streams, sp), sp, jnp.int32)
+            used_ref[:, :] = jnp.zeros((n_streams, sp), jnp.int32)
+            onpath_ref[:, :] = jnp.zeros((n_streams, sp), jnp.int32)
+            currow_ref[:, :] = jnp.zeros((n_streams, sp), jnp.int32) + r0
+            jfrom_ref[:, :] = jnp.full((n_streams, sp), sp, jnp.int32)
+            done_ref[:, :] = jnp.broadcast_to(1 - rv_i, (n_streams, sp))
+            jend_ref[:, :] = jnp.full((n_streams, sp), sp, jnp.int32)
+            n_done0 = jnp.sum(jnp.where(idx == 0, done_ref[:, :], 0))
+
+            def pop_cond(pst):
+                return jnp.logical_and(pst[1] < n_streams,
+                                       pst[0] < max_iters)
+
+            def pop_body(pst):
+                it, _ = pst
+                currow = currow_ref[:, :]
+                a = 1 - done_ref[:, :]
+                onpath_ref[:, :] = jnp.where(
+                    (idx == currow) & (a == 1), 1, onpath_ref[:, :])
+                # Per-stream cost-row gather (the one scalar-indexed
+                # piece of the pop).
+                for b in range(n_streams):
+                    r_b = jnp.sum(currow_ref[b:b + 1, 0:1]).astype(
+                        jnp.int32)
+                    r_c = jnp.clip(r_b, 0, n_rows - 1)
+                    rowbuf_ref[b:b + 1, :] = cost_ref[b, pl.ds(r_c, 1), :]
+                rowbuf = rowbuf_ref[:, :]
+                rv_r = at_lanes(rv, currow)                     # (B,1)
+                live_real = jnp.where(
+                    lane_real_col == 1,
+                    jnp.where(cv == 1, rowbuf, big),
+                    jnp.where(lane_in_s == 1, half, 1e9))
+                parked_real = jnp.where(
+                    lane_real_col == 1, big,
+                    jnp.where(lane_in_s == 1, 0.0, 1e9))
+                dummy_row = jnp.where(
+                    lane_real_col == 1,
+                    jnp.where(cv == 1, half, 0.0),
+                    jnp.where(lane_in_s == 1, 0.0, 1e9))
+                pad_row = jnp.where(idx == currow, 0.0, 1e9)
+                real = jnp.where(rv_r == 1, live_real, parked_real)
+                in_s = jnp.where(currow < n_rows, real, dummy_row)
+                erow = jnp.where(currow < s_total, in_s, pad_row)
+
+                used = used_ref[:, :]
+                u_cur = at_lanes_f(u_ref[:, :], currow)         # (B,1)
+                reduced = erow - u_cur - v_ref[:, :]
+                minv = minv_ref[:, :]
+                upd = (used == 0) & (reduced < minv) & (a == 1)
+                minv = jnp.where(upd, reduced, minv)
+                way_ref[:, :] = jnp.where(upd, jfrom_ref[:, :],
+                                          way_ref[:, :])
+                masked = jnp.where(used == 1, _INF, minv)
+                delta = jnp.min(masked, axis=1, keepdims=True)   # (B,1)
+                j1 = jnp.argmin(masked, axis=1, keepdims=True
+                                ).astype(jnp.int32)              # (B,1)
+                u_ref[:, :] = jnp.where(
+                    (onpath_ref[:, :] == 1) & (a == 1),
+                    u_ref[:, :] + delta, u_ref[:, :])
+                v_ref[:, :] = jnp.where((used == 1) & (a == 1),
+                                        v_ref[:, :] - delta, v_ref[:, :])
+                minv_ref[:, :] = jnp.where(
+                    a == 1, jnp.where(used == 1, minv, minv - delta),
+                    minv_ref[:, :])
+                used_ref[:, :] = jnp.where((idx == j1) & (a == 1), 1,
+                                           used)
+                nxt = at_lanes(p_out[pass_i, :, :], j1)          # (B,1)
+                newly = (nxt < 0) & (a[:, 0:1] == 1)
+                jend_ref[:, :] = jnp.where(
+                    jnp.broadcast_to(newly, (n_streams, sp)),
+                    jnp.broadcast_to(j1, (n_streams, sp)),
+                    jend_ref[:, :])
+                done_ref[:, :] = jnp.where(
+                    jnp.broadcast_to(newly, (n_streams, sp)), 1,
+                    done_ref[:, :])
+                currow_ref[:, :] = jnp.where(
+                    (a == 1) & jnp.broadcast_to(~newly, (n_streams, sp)),
+                    jnp.broadcast_to(nxt, (n_streams, sp)),
+                    currow_ref[:, :])
+                jfrom_ref[:, :] = jnp.where(
+                    a == 1, jnp.broadcast_to(j1, (n_streams, sp)),
+                    jfrom_ref[:, :])
+                n_done = jnp.sum(jnp.where(idx == 0, done_ref[:, :], 0))
+                return (it + 1, n_done)
+
+            jax.lax.while_loop(pop_cond, pop_body,
+                               (jnp.int32(0), n_done0))
+
+            # Unwind all streams' augmenting paths in lockstep. j0 = sp
+            # marks a finished (or never-started) stream.
+            currow_ref[:, :] = jnp.where(
+                jnp.broadcast_to(rv_i == 1, (n_streams, sp)),
+                jend_ref[:, :], sp)
+
+            def unwind_cond(ust):
+                return jnp.logical_and(ust[1] > 0, ust[0] < max_iters)
+
+            def unwind_body(ust):
+                it, _ = ust
+                j0 = currow_ref[:, :]
+                act = j0[:, 0:1] < sp                            # (B,1)
+                actv = jnp.broadcast_to(act, (n_streams, sp))
+                j1 = at_lanes(way_ref[:, :], j0)                 # (B,1)
+                p_at = at_lanes(p_out[pass_i, :, :], j1)         # (B,1)
+                rowv = jnp.where(j1 >= sp, r0, p_at)             # (B,1)
+                p_out[pass_i, :, :] = jnp.where(
+                    (idx == j0) & actv, jnp.broadcast_to(
+                        rowv, (n_streams, sp)), p_out[pass_i, :, :])
+                q_out[pass_i, :, :] = jnp.where(
+                    (idx == rowv) & actv,
+                    j0, q_out[pass_i, :, :])
+                rv_at = at_lanes(rv, jnp.broadcast_to(
+                    rowv, (n_streams, sp)))                      # (B,1)
+                live = (rowv < n_rows) & (rv_at == 1)
+                plive_out[pass_i, :, :] = jnp.where(
+                    (idx == j0) & actv,
+                    jnp.where(jnp.broadcast_to(live, (n_streams, sp)),
+                              1, 0),
+                    plive_out[pass_i, :, :])
+                currow_ref[:, :] = jnp.where(
+                    actv, jnp.broadcast_to(j1, (n_streams, sp)), j0)
+                n_act = jnp.sum(jnp.where(
+                    idx == 0,
+                    jnp.where(currow_ref[:, :] < sp, 1, 0), 0))
+                return (it + 1, n_act)
+
+            n_act0 = jnp.sum(jnp.where(
+                idx == 0, jnp.where(currow_ref[:, :] < sp, 1, 0), 0))
+            jax.lax.while_loop(unwind_cond, unwind_body,
+                               (jnp.int32(0), n_act0))
+            return carry
+
+        jax.lax.fori_loop(0, s_total, outer, jnp.int32(0))
+
+
+def _cascade_call_lockstep(costs, pool, tracked, unconf, high1, high3,
+                           low, big, n_rows: int, n_cols: int, limits,
+                           max_iters: int, interpret: bool):
+    """Lockstep entry: costs [B,3,SP,SP] f32; masks [B,1,SP] int32;
+    big [B,1] f32 -> (p, q, plive) each [B,3,1,SP] int32 (the grid
+    version's output contract)."""
+    bsz, _, sp, _ = costs.shape
+    kernel = functools.partial(
+        _cascade_kernel_ls, n_streams=bsz, n_rows=n_rows, n_cols=n_cols,
+        limits=tuple(limits), max_iters=max_iters)
+    c0, c1, c2 = (costs[:, i] for i in range(3))
+    masks = [m[:, 0, :] for m in (pool, tracked, unconf, high1, high3,
+                                  low)]
+    # One shared "big" is sound: any value above every stream's finite
+    # max + limit works, so take the max across streams.
+    big_s = jnp.max(big).reshape(1, 1)
+    full = lambda shape: pl.BlockSpec(shape, lambda: tuple(
+        0 for _ in shape))
+    out_shape = jax.ShapeDtypeStruct((3, bsz, sp), jnp.int32)
+    p, q, plive = pl.pallas_call(
+        kernel,
+        out_shape=(out_shape, out_shape, out_shape),
+        in_specs=[
+            full((bsz, sp, sp)), full((bsz, sp, sp)), full((bsz, sp, sp)),
+            full((bsz, sp)), full((bsz, sp)), full((bsz, sp)),
+            full((bsz, sp)), full((bsz, sp)), full((bsz, sp)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(full((3, bsz, sp)), full((3, bsz, sp)),
+                   full((3, bsz, sp))),
+        scratch_shapes=[
+            pltpu.VMEM((bsz, sp), jnp.float32),   # minv
+            pltpu.VMEM((bsz, sp), jnp.int32),     # way
+            pltpu.VMEM((bsz, sp), jnp.int32),     # used
+            pltpu.VMEM((bsz, sp), jnp.int32),     # on_path
+            pltpu.VMEM((bsz, sp), jnp.float32),   # u
+            pltpu.VMEM((bsz, sp), jnp.float32),   # v
+            pltpu.VMEM((bsz, sp), jnp.int32),     # currow
+            pltpu.VMEM((bsz, sp), jnp.int32),     # jfrom
+            pltpu.VMEM((bsz, sp), jnp.int32),     # done
+            pltpu.VMEM((bsz, sp), jnp.int32),     # jend
+            pltpu.VMEM((bsz, sp), jnp.float32),   # rowbuf
+        ],
+        interpret=interpret,
+    )(c0, c1, c2, *masks, big_s)
+    # [3, B, sp] -> [B, 3, 1, sp]
+    reshape = lambda o: jnp.transpose(o, (1, 0, 2))[:, :, None, :]
+    return reshape(p), reshape(q), reshape(plive)
+
+
 def _cascade_call_batched(costs, pool, tracked, unconf, high1, high3,
                           low, big, n_rows: int, n_cols: int, limits,
                           max_iters: int, interpret: bool):
@@ -404,7 +690,9 @@ def _get_cascade_call(n_rows: int, n_cols: int, limits, max_iters: int,
             x if bb else jnp.broadcast_to(x, (axis_size,) + x.shape)
             for x, bb in zip(args, in_batched)
         ]
-        return _cascade_call_batched(
+        impl = (_cascade_call_lockstep if _lockstep_enabled()
+                else _cascade_call_batched)
+        return impl(
             *args, n_rows, n_cols, limits, max_iters, interpret), (
             True, True, True)
 

