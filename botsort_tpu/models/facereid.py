@@ -15,8 +15,50 @@ from __future__ import annotations
 
 from typing import Any, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+class _DWConvShift(nn.Module):
+    """Depthwise 3x3 conv computed as 9 weighted strided-slice FMAs.
+
+    Mathematically identical to ``nn.Conv(features, (3, 3),
+    feature_group_count=features)`` with SAME padding, and consumes the
+    IDENTICAL param tree ({'kernel': (3, 3, 1, C)}) so checkpoints and
+    the ONNX importer are oblivious to which lowering runs. Exists
+    because XLA's grouped-conv lowering is the face encoder's VPU
+    bottleneck (docs/PERF.md): as 9 shifted multiply-adds the op is
+    plain fusable elementwise work with channels contiguous on lanes.
+    """
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 1, self.features), jnp.float32).astype(self.dtype)
+        x = x.astype(self.dtype)
+        n, h, w, c = x.shape
+        s = self.stride
+        # Flax SAME padding for k=3: pad 1 each side; out = ceil(dim/s).
+        ho = -(-h // s)
+        wo = -(-w // s)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = jnp.zeros((n, ho, wo, c), self.dtype)
+        for dy in range(3):
+            for dx in range(3):
+                sl = jax.lax.slice(
+                    xp,
+                    (0, dy, dx, 0),
+                    (n, dy + (ho - 1) * s + 1, dx + (wo - 1) * s + 1, c),
+                    (1, s, s, 1))
+                out = out + sl * kernel[dy, dx, 0]
+        return out
 
 
 class _ConvBNRelu6(nn.Module):
@@ -26,15 +68,24 @@ class _ConvBNRelu6(nn.Module):
     groups: int = 1
     act: bool = True
     dtype: Any = jnp.bfloat16
+    dw_shift: bool = False
 
     @nn.compact
     def __call__(self, x):
-        p = (self.kernel - 1) // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((p, p), (p, p)),
-                    feature_group_count=self.groups, use_bias=False,
-                    dtype=self.dtype)(x)
+        if self.dw_shift and self.groups > 1:
+            assert self.groups == self.features == x.shape[-1] \
+                and self.kernel == 3, "shift lowering is dw-3x3 only"
+            # name='Conv_0' keeps the param path identical to the
+            # nn.Conv branch below.
+            x = _DWConvShift(self.features, self.stride,
+                             dtype=self.dtype, name="Conv_0")(x)
+        else:
+            p = (self.kernel - 1) // 2
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=((p, p), (p, p)),
+                        feature_group_count=self.groups, use_bias=False,
+                        dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
                          dtype=self.dtype)(x)
         return jnp.minimum(nn.relu(x), 6.0) if self.act else x
@@ -45,6 +96,7 @@ class InvertedResidual(nn.Module):
     stride: int = 1
     expand: int = 6
     dtype: Any = jnp.bfloat16
+    dw_shift: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -54,7 +106,7 @@ class InvertedResidual(nn.Module):
         if self.expand != 1:
             y = _ConvBNRelu6(hidden, 1, 1, dtype=self.dtype)(y)
         y = _ConvBNRelu6(hidden, 3, self.stride, groups=hidden,
-                         dtype=self.dtype)(y)
+                         dtype=self.dtype, dw_shift=self.dw_shift)(y)
         y = _ConvBNRelu6(self.features, 1, 1, act=False, dtype=self.dtype)(y)
         if self.stride == 1 and in_ch == self.features:
             y = y + x
@@ -77,6 +129,9 @@ class FaceReID(nn.Module):
     layout: tuple = MOBILENETV2_LAYOUT
     head_width: int = 1280
     dtype: Any = jnp.bfloat16
+    # Lower the depthwise 3x3s as 9 shifted FMAs instead of grouped
+    # convs (same math, same param tree — _DWConvShift docstring).
+    dw_shift: bool = False
 
     @nn.compact
     def __call__(self, images):
@@ -87,7 +142,8 @@ class FaceReID(nn.Module):
         for expand, ch, reps, stride in self.layout:
             for i in range(reps):
                 x = InvertedResidual(ch, stride if i == 0 else 1, expand,
-                                     dtype=self.dtype)(x)
+                                     dtype=self.dtype,
+                                     dw_shift=self.dw_shift)(x)
         x = _ConvBNRelu6(self.head_width, 1, 1, dtype=self.dtype)(x)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         feat = nn.Dense(self.feature_dim, dtype=jnp.float32)(x)

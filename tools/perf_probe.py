@@ -183,6 +183,25 @@ def main():
                           "mfu": round(g / sec / V5E_PEAK_BF16, 4),
                           "fps": round(1 / sec, 1)}))
 
+    if "facevar" in stages:
+        # Depthwise lowering A/B: XLA grouped conv vs 9 shifted FMAs
+        # (_DWConvShift — exact, same param tree). Geometries: b16 =
+        # the loaded single-stream face bucket, b128 = the 8-stream
+        # batched step (8 x 16 faces), where the encoder is 1.93 ms of
+        # the ~33 ms step.
+        from botsort_tpu.models.facereid import FaceReID
+
+        for nb in (16, 128):
+            x = jnp.asarray(rng.uniform(0, 255, (args.k, nb, 128, 128, 3)),
+                            jnp.float32)
+            for tag, dw in (("conv", False), ("shift", True)):
+                model = FaceReID(dw_shift=dw)
+                sec = time_scan(
+                    lambda p, c, f: (c, model.apply(p, f)[:, :4]),
+                    bundle.face_params, jnp.zeros(()), x, args.k)
+                print(json.dumps({"stage": f"face_b{nb}_{tag}",
+                                  "ms": round(sec * 1e3, 3)}))
+
     if "detseg" in stages:
         # Per-segment detector bisection: each segment is its own
         # standalone module at its real input shape, timed as its own
