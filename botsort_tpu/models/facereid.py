@@ -26,10 +26,15 @@ class _DWConvShift(nn.Module):
     Mathematically identical to ``nn.Conv(features, (3, 3),
     feature_group_count=features)`` with SAME padding, and consumes the
     IDENTICAL param tree ({'kernel': (3, 3, 1, C)}) so checkpoints and
-    the ONNX importer are oblivious to which lowering runs. Exists
+    the ONNX importer are oblivious to which lowering runs. Tried
     because XLA's grouped-conv lowering is the face encoder's VPU
     bottleneck (docs/PERF.md): as 9 shifted multiply-adds the op is
     plain fusable elementwise work with channels contiguous on lanes.
+    MEASURED A LOSS on v5e at every production batch (tools/perf_probe
+    --stages facevar, 2026-08-19: b16 0.261 vs 0.222 ms, b128 1.246 vs
+    0.841 — the 9 materialized shifted operands cost more HBM traffic
+    than the grouped conv's im2col); stays in-tree as a parity-tested
+    opt-in for future XLA versions, NOT wired into any default path.
     """
 
     features: int

@@ -191,15 +191,27 @@ def main():
         # the ~33 ms step.
         from botsort_tpu.models.facereid import FaceReID
 
-        for nb in (16, 128):
-            x = jnp.asarray(rng.uniform(0, 255, (args.k, nb, 128, 128, 3)),
-                            jnp.float32)
+        # The per-step work here (0.2-1.2 ms) is small vs the ~27 ms
+        # tunnel floor, so (k, nb, H, W, 3) xs arrays would need k in
+        # the hundreds (GBs at nb=128) for a clean signal. Instead the
+        # input rides in the CARRY with a feedback term (x += eps*sum)
+        # so the body can't be hoisted out of the loop, and xs is a
+        # dummy; k scales freely.
+        for nb in (16, 32, 64, 128):
+            kk = max(args.k, int(16384 / nb))  # >=25 ms of work
+            x0 = jnp.asarray(rng.uniform(0, 255, (nb, 128, 128, 3)),
+                             jnp.float32)
             for tag, dw in (("conv", False), ("shift", True)):
                 model = FaceReID(dw_shift=dw)
-                sec = time_scan(
-                    lambda p, c, f: (c, model.apply(p, f)[:, :4]),
-                    bundle.face_params, jnp.zeros(()), x, args.k)
+
+                def step(p, c, _):
+                    feat = model.apply(p, c)
+                    return c + jnp.sum(feat) * 1e-12, feat[0, :4]
+
+                sec = time_scan(step, bundle.face_params, x0,
+                                jnp.zeros((kk,)), kk)
                 print(json.dumps({"stage": f"face_b{nb}_{tag}",
+                                  "k": kk,
                                   "ms": round(sec * 1e3, 3)}))
 
     if "detseg" in stages:
