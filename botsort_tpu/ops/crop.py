@@ -19,29 +19,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def crop_and_resize(
-    image: jnp.ndarray,
-    boxes_tlbr: jnp.ndarray,
-    out_hw: tuple[int, int],
-    compute_dtype: jnp.dtype = jnp.float32,
-) -> jnp.ndarray:
-    """Extract and bilinearly resize N crops from one image.
+def _sample_grid(image, boxes_tlbr, out_hw):
+    """Shared bilinear sample-coordinate computation.
 
-    image: [H, W, 3] (any float/int dtype; output is float32).
-    boxes_tlbr: [N, 4] float32 pixel corners (x1, y1, x2, y2); callers pass
-      integer-valued corners to match the reference's integer slicing.
-    out_hw: static (out_h, out_w).
-    compute_dtype: dtype of the two interpolation contractions
-      (accumulation is always float32 via preferred_element_type). The
-      pipeline passes bfloat16 on TPU: uint8 pixel values are exact in
-      bfloat16 and the 2-tap weights round to ~2^-9 relative, so crops
-      differ from the float32 path by <~0.7 intensity levels while the
-      matmuls run at the MXU's bf16 rate with half the HBM traffic (the
-      weight matrices against a 1080p frame are the dominant preprocess
-      cost — ~100 GFLOP per 64-crop batch).
-    Returns [N, out_h, out_w, 3] float32. Degenerate boxes (w or h < 1)
-    produce zeros.
-    """
+    Returns (y0, x0, y1i, x1i, wy, wx, good): integer tap indices
+    [N, out] (two taps per output row/col, edge-clamped to the cropped
+    region then the image, cv2-style), fractional weights, and the
+    per-box validity mask (w and h >= 1)."""
     img_h, img_w = image.shape[0], image.shape[1]
     out_h, out_w = out_hw
     x1 = boxes_tlbr[:, 0]
@@ -70,6 +54,35 @@ def crop_and_resize(
     x0 = x0.astype(jnp.int32)
     y1i = jnp.minimum(y0 + 1, img_h - 1)
     x1i = jnp.minimum(x0 + 1, img_w - 1)
+    return y0, x0, y1i, x1i, wy, wx, good
+
+
+def crop_and_resize(
+    image: jnp.ndarray,
+    boxes_tlbr: jnp.ndarray,
+    out_hw: tuple[int, int],
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Extract and bilinearly resize N crops from one image.
+
+    image: [H, W, 3] (any float/int dtype; output is float32).
+    boxes_tlbr: [N, 4] float32 pixel corners (x1, y1, x2, y2); callers pass
+      integer-valued corners to match the reference's integer slicing.
+    out_hw: static (out_h, out_w).
+    compute_dtype: dtype of the two interpolation contractions
+      (accumulation is always float32 via preferred_element_type). The
+      pipeline passes bfloat16 on TPU: uint8 pixel values are exact in
+      bfloat16 and the 2-tap weights round to ~2^-9 relative, so crops
+      differ from the float32 path by <~0.7 intensity levels while the
+      matmuls run at the MXU's bf16 rate with half the HBM traffic (the
+      weight matrices against a 1080p frame are the dominant preprocess
+      cost — ~100 GFLOP per 64-crop batch).
+    Returns [N, out_h, out_w, 3] float32. Degenerate boxes (w or h < 1)
+    produce zeros.
+    """
+    img_h, img_w = image.shape[0], image.shape[1]
+    out_h, out_w = out_hw
+    y0, x0, y1i, x1i, wy, wx, good = _sample_grid(image, boxes_tlbr, out_hw)
 
     # Bilinear resize is a separable linear map, so the whole batched
     # crop-resize is TWO matmul contractions on the MXU instead of ~2M
@@ -92,10 +105,58 @@ def crop_and_resize(
         + (row_ids[None, None, :] == y1i[:, :, None]) * wy[:, :, None]
     ).astype(compute_dtype)                     # [N, out_h, H]
 
-    # [N, out_w, W] x [H, W, 3] -> [N, H, out_w, 3]
+    # [N, out_w, W] x [H, W, 3] -> [N, H, out_w, 3]. The intermediate is
+    # stored in compute_dtype: at b=128 crops it is a 212 MB array in
+    # f32 vs 106 MB in bf16 (~0.25 ms of pure HBM either way), and the
+    # x-phase result is a 2-tap convex combination of uint8 pixels
+    # accumulated in f32 by the MXU — the bf16 store rounds it by at
+    # most ~0.5 intensity level before the (still f32-accumulated)
+    # y phase.
     tmp = jnp.einsum("nxw,hwc->nhxc", wx_mat, img,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=compute_dtype
+                     if compute_dtype == jnp.bfloat16 else jnp.float32)
     # [N, out_h, H] x [N, H, out_w, 3] -> [N, out_h, out_w, 3]
     out = jnp.einsum("nrh,nhxc->nrxc", wy_mat, tmp,
                      preferred_element_type=jnp.float32)
+    return jnp.where(good[:, None, None, None], out, 0.0)
+
+
+def crop_and_resize_gather(
+    image: jnp.ndarray,
+    boxes_tlbr: jnp.ndarray,
+    out_hw: tuple[int, int],
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """crop_and_resize as two-tap GATHERS + lerps instead of one-hot
+    matmuls.
+
+    The matmul form contracts every output column against the full
+    1920-wide frame (~1.6 GFLOP/crop at 256x128 from 1080p) even though
+    each output pixel reads exactly 4 source pixels. Here the x phase
+    gathers the two tap COLUMNS per output column (rows of the
+    transposed frame — contiguous ~6 KB reads) and lerps; the y phase
+    gathers the two tap rows of the per-crop intermediate and lerps.
+    O(pixels-touched) HBM traffic, no MXU.
+
+    Numerics: the taps are exact pixel values (uint8 exact in bf16);
+    each lerp computes t0 + w*(t1 - t0) in compute_dtype, so bf16
+    differs from the float32 path by <~1 intensity level (the matmul
+    form's f32 accumulation rounds ~half that). Output values for valid
+    boxes are identical to crop_and_resize up to that rounding
+    (tests/test_crop_hierarchy.py::test_gather_matches_einsum).
+    """
+    out_h, out_w = out_hw
+    y0, x0, y1i, x1i, wy, wx, good = _sample_grid(image, boxes_tlbr, out_hw)
+
+    img = image.astype(compute_dtype)
+    imgT = jnp.swapaxes(img, 0, 1)                 # [W, H, 3]
+    wx_c = wx.astype(compute_dtype)[..., None, None]
+    t0 = imgT[x0]                                  # [N, out_w, H, 3]
+    t1 = imgT[x1i]
+    t = t0 + wx_c * (t1 - t0)                      # [N, out_w, H, 3]
+    tT = jnp.swapaxes(t, 1, 2)                     # [N, H, out_w, 3]
+    r0 = jnp.take_along_axis(tT, y0[:, :, None, None], axis=1)
+    r1 = jnp.take_along_axis(tT, y1i[:, :, None, None], axis=1)
+    wy_c = wy.astype(compute_dtype)[..., None, None]
+    out = (r0 + wy_c * (r1 - r0)).astype(jnp.float32)
     return jnp.where(good[:, None, None, None], out, 0.0)

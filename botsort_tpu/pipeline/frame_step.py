@@ -598,6 +598,93 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
             body_tlbr, body_scores, body_valid, body_feats, face_feats)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("tracker_cfg", "nms_cfg", "pipe_cfg", "reid_bucket",
+                      "face_bucket"),
+    donate_argnames=("stores",),
+)
+def frame_step_batched_temporal(
+    bundle: ModelBundle,
+    stores: TrackStore,
+    frames_bgr: jnp.ndarray,
+    tracker_cfg: TrackerConfig,
+    nms_cfg: NMSConfig,
+    pipe_cfg: PipelineConfig,
+    gmc_affines: jnp.ndarray | None = None,
+    reid_bucket: int | None = None,
+    face_bucket: int | None = None,
+) -> Tuple[TrackStore, FrameResult]:
+    """B streams x T consecutive frames each, in ONE dispatch.
+
+    frames_bgr: [B, T, H, W, 3] uint8; stores: TrackStore with leading
+    [B]; gmc_affines: optional [B, T, 2, 3].
+
+    Perception (detector / NMS / hierarchy / crops / both encoders) runs
+    batched over all B*T frames — detector batch B*T and up to B*T*r
+    ReID crops per chunk, amortizing per-layer inefficiency beyond what
+    batch B reaches — then the cascades run as T sequential steps of the
+    same vmapped (lockstep-JV) tracker_update that frame_step_batched
+    uses, chained through the per-stream stores. Output is
+    bitwise-identical to T sequential frame_step_batched calls
+    (tests/test_batched_step.py::test_temporal_batched_matches_sequential);
+    the cost is T-1 frames of added latency per stream, which a serving
+    loop trades against throughput (runtime/envelope.py records both
+    operating points).
+    """
+    b, t = frames_bgr.shape[0], frames_bgr.shape[1]
+    percep = _perception_batched(
+        bundle, frames_bgr.reshape((b * t,) + frames_bgr.shape[2:]),
+        tracker_cfg, nms_cfg, pipe_cfg, reid_bucket, face_bucket)
+    (det_boxes, det_scores, det_valid, hier, nms_clipped, body_tlbr,
+     body_scores, body_valid, body_feats, face_feats) = percep
+
+    def to_tb(x):
+        # [B*T, ...] -> [T, B, ...] (scan leading axis = time).
+        return jnp.swapaxes(x.reshape((b, t) + x.shape[1:]), 0, 1)
+
+    xs = tuple(to_tb(x) for x in
+               (body_tlbr, body_scores, body_valid, body_feats,
+                face_feats))
+    if gmc_affines is not None:
+        xs = xs + (jnp.swapaxes(gmc_affines, 0, 1),)
+
+    def scan_body(st, per_t):
+        if gmc_affines is None:
+            bt, bs, bv, bf, ff = per_t
+            st2, tr = jax.vmap(
+                lambda s, a1, a2, a3, a4, a5: tracker_update(
+                    s, a1, a2, a3, a4, a5, tracker_cfg)
+            )(st, bt, bs, bv, bf, ff)
+        else:
+            bt, bs, bv, bf, ff, ga = per_t
+            st2, tr = jax.vmap(
+                lambda s, a1, a2, a3, a4, a5, g: tracker_update(
+                    s, a1, a2, a3, a4, a5, tracker_cfg, g)
+            )(st, bt, bs, bv, bf, ff, ga)
+        return st2, tr
+
+    stores_out, tracks = jax.lax.scan(scan_body, stores, xs)
+
+    def to_bt(x):
+        # [B*T, ...] -> [B, T, ...] for the per-frame readback fields.
+        return x.reshape((b, t) + x.shape[1:])
+
+    result = FrameResult(
+        det_boxes=to_bt(det_boxes),
+        det_scores=to_bt(det_scores),
+        det_valid=to_bt(det_valid),
+        head_for_body=to_bt(hier[0]),
+        face_for_head=to_bt(hier[1]),
+        hand1_for_body=to_bt(hier[2]),
+        hand2_for_body=to_bt(hier[3]),
+        nms_clipped=to_bt(nms_clipped),
+        # tracks come out of the scan as [T, B, ...] -> [B, T, ...].
+        tracks=jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), tracks),
+    )
+    return stores_out, result
+
+
 def _encode_chunked_axis1(encode, tlbr: jnp.ndarray, n_live: jnp.ndarray,
                           chunk: int, out_dim: int,
                           static_bucket: int | None = None) -> jnp.ndarray:

@@ -82,6 +82,45 @@ def test_batched_with_per_stream_gmc():
                                   np.asarray(res2.tracks.valid))
 
 
+def test_temporal_batched_matches_sequential():
+    """frame_step_batched_temporal([B, T]) must equal T sequential
+    frame_step_batched calls bitwise (per-frame perception is
+    batch-size invariant; the cascades chain identically)."""
+    from botsort_tpu.pipeline.frame_step import frame_step_batched_temporal
+
+    bundle = build_bundle(mini=True)
+    rng = np.random.default_rng(3)
+    T = 2
+    frames = rng.integers(0, 255, (B, T, 120, 160, 3), dtype=np.uint8)
+
+    one = empty_store(TRK)
+    stores_seq = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), one)
+    seq_tracks = []
+    for t in range(T):
+        stores_seq, res = frame_step_batched(
+            bundle, stores_seq, jnp.asarray(frames[:, t]), TRK, NMSC,
+            PIPE)
+        seq_tracks.append(jax.device_get(res.tracks))
+
+    stores_tmp = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), empty_store(TRK))
+    stores_tmp, res_t = frame_step_batched_temporal(
+        bundle, stores_tmp, jnp.asarray(frames), TRK, NMSC, PIPE)
+    got = jax.device_get(res_t.tracks)
+
+    for t in range(T):
+        np.testing.assert_array_equal(got.valid[:, t],
+                                      seq_tracks[t].valid)
+        np.testing.assert_array_equal(got.track_id[:, t],
+                                      seq_tracks[t].track_id)
+        np.testing.assert_array_equal(got.tlbr[:, t],
+                                      seq_tracks[t].tlbr)
+    for a, b_ in zip(jax.tree.leaves(jax.device_get(stores_seq)),
+                     jax.tree.leaves(jax.device_get(stores_tmp))):
+        np.testing.assert_array_equal(a, b_)
+
+
 def test_update_async_matches_update():
     """BatchedBoTSORTPipeline.update_async + result() must equal the
     synchronous update() exactly (same bucket dispatch, same overflow

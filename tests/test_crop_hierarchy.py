@@ -45,6 +45,32 @@ def test_crop_resize_bf16_close_to_f32():
     assert np.abs(f32 - bf16).max() < 1.0
 
 
+def test_gather_matches_einsum():
+    """The gather lowering computes the SAME bilinear samples as the
+    one-hot-matmul form: exact in float32 (same taps, same weights, only
+    the contraction order differs), within ~3 intensity levels in bf16
+    (the gather path's lerps round intermediates to bf16 where the
+    einsum accumulates in f32)."""
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (240, 320, 3)).astype(np.uint8)
+    boxes = []
+    for _ in range(17):
+        x1 = rng.uniform(0, 280)
+        y1 = rng.uniform(0, 200)
+        boxes.append([x1, y1, x1 + rng.uniform(0.5, 40),
+                      y1 + rng.uniform(0.5, 40)])
+    boxes = np.floor(np.asarray(boxes, np.float32))
+    a = np.asarray(crop.crop_and_resize(
+        jnp.asarray(img), jnp.asarray(boxes), (64, 32)))
+    g = np.asarray(crop.crop_and_resize_gather(
+        jnp.asarray(img), jnp.asarray(boxes), (64, 32)))
+    assert np.abs(a - g).max() < 1e-3
+    g16 = np.asarray(crop.crop_and_resize_gather(
+        jnp.asarray(img), jnp.asarray(boxes), (64, 32),
+        compute_dtype=jnp.bfloat16))
+    assert np.abs(a - g16).max() < 3.0
+
+
 def test_crop_degenerate_box_is_zero():
     img = jnp.ones((50, 50, 3))
     boxes = jnp.asarray([[10.0, 10.0, 10.0, 30.0]])  # zero width

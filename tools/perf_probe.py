@@ -123,6 +123,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--stages", default="detector,body,face,full")
     parser.add_argument("--k", type=int, default=32)
+    parser.add_argument("--b", type=int, default=64,
+                        help="crop batch for the bodyseg bisection")
+    parser.add_argument("--db", type=int, default=1,
+                        help="frame batch for the detseg bisection")
     parser.add_argument("--bf16-params", action="store_true",
                         help="pre-cast model params to bfloat16")
     args = parser.parse_args()
@@ -226,17 +230,24 @@ def main():
             PAFPN, DecoupledHead, decode_outputs)
 
         def seg_time(name, make_mod, in_shape, out_slice):
+            # --db > 1 re-runs every segment at frame batch db (the
+            # batched multi-stream step's geometry) with the bodyseg
+            # base+delta method (k full-size batches would be GBs).
+            db = args.db
+            in_shape = (db,) + in_shape[1:]
             mod = make_mod()
             params = jax.jit(mod.init)(jax.random.PRNGKey(0),
                                        jnp.zeros(in_shape))
-            x = jnp.asarray(rng.uniform(0, 1, (args.k,) + in_shape[1:]),
-                            jnp.float32)
+            base = jnp.asarray(rng.uniform(0, 1, in_shape), jnp.float32)
+            deltas = jnp.linspace(0.0, 0.01, args.k)
             sec = time_scan(
-                lambda p, c, f: (c, out_slice(mod.apply(p, f[None]))),
-                params, jnp.zeros(()), x, args.k)
+                lambda p, c, f, _m=mod: (
+                    c, out_slice(_m.apply(p[0], p[1] + f))),
+                (params, base), jnp.zeros(()), deltas, args.k)
             g = model_conv_flops(mod, jnp.zeros(in_shape))
+            sfx = "" if db == 1 else f"_b{db}"
             print(json.dumps({
-                "stage": name, "ms": round(sec * 1e3, 3),
+                "stage": name + sfx, "ms": round(sec * 1e3, 3),
                 "gflops": round(g / 1e9, 1),
                 "mfu": round(g / sec / V5E_PEAK_BF16, 4),
             }))
@@ -276,25 +287,33 @@ def main():
                     return decode_outputs(outs, 4)[0]
                 return outs[0]
 
-        seg_time("det_stem_focus", lambda: Focus(80, 3),
-                 (1, 480, 640, 3), lambda y: y[0, ::37, ::41, 0])
+        # out_slice keeps the BATCH axis (a [0]-index would let XLA
+        # slice the batch out of per-sample convs at --db > 1).
+        if args.db == 1:
+            # At --db 8 this exact program reproducibly CRASHES the
+            # TPU worker ("kernel fault", 2026-08-19, two clean
+            # repros) — the same folded 6x6 conv runs fine inside the
+            # batched detector, so it is a probe-harness/XLA layout
+            # interaction, not a production path. Skipped at db > 1.
+            seg_time("det_stem_focus", lambda: Focus(80, 3),
+                     (1, 480, 640, 3), lambda y: y[:, ::37, ::41, 0])
         seg_time("det_dark2", lambda: Stage(160, 4),
-                 (1, 240, 320, 80), lambda y: y[0, ::29, ::31, 0])
+                 (1, 240, 320, 80), lambda y: y[:, ::29, ::31, 0])
         seg_time("det_dark3", lambda: Stage(320, 12),
-                 (1, 120, 160, 160), lambda y: y[0, ::17, ::19, 0])
+                 (1, 120, 160, 160), lambda y: y[:, ::17, ::19, 0])
         seg_time("det_dark4", lambda: Stage(640, 12),
-                 (1, 60, 80, 320), lambda y: y[0, ::7, ::11, 0])
+                 (1, 60, 80, 320), lambda y: y[:, ::7, ::11, 0])
         seg_time("det_dark5", lambda: Stage(1280, 4, spp=True),
-                 (1, 30, 40, 640), lambda y: y[0, ::5, ::7, 0])
+                 (1, 30, 40, 640), lambda y: y[:, ::5, ::7, 0])
         # FPN/head wrappers add small feeder convs (counted in their
         # FLOPs) so each runs standalone from one input tensor.
         seg_time("det_pafpn_plus_feeders", lambda: FPNWrap(),
-                 (1, 60, 80, 320), lambda y: y[0][0, ::7, ::11, 0])
+                 (1, 60, 80, 320), lambda y: y[0][:, ::7, ::11, 0])
         seg_time("det_head_plus_feeders", lambda: HeadWrap(),
-                 (1, 60, 80, 320), lambda y: y[0, ::7, ::11, 0])
+                 (1, 60, 80, 320), lambda y: y[:, ::7, ::11, 0])
         seg_time("det_head_decode_plus_feeders",
                  lambda: HeadWrap(decode=True),
-                 (1, 60, 80, 320), lambda y: y[0, ::531, 0])
+                 (1, 60, 80, 320), lambda y: y[:, ::531, 0])
 
     if "int8scope" in stages:
         # VERDICT #7: scope int8 to the mid-network (bottlenecks >= 3,
@@ -395,7 +414,7 @@ def main():
                 "mfu": round(g / sec / V5E_PEAK_BF16, 4),
             }))
 
-        b = 64
+        b = args.b
 
         class Stem(nn.Module):
             @nn.compact
@@ -992,6 +1011,62 @@ def main():
                               "gflops": round(g / 1e9, 1),
                               "mfu": round(g / sec / V5E_PEAK_BF16, 4)}))
 
+    if "cropvar" in stages:
+        # Crop-and-resize lowering A/B at production geometries: the
+        # one-hot-matmul form contracts every output column against the
+        # full 1920-wide frame (~1.6 GFLOP/crop at 256x128), the gather
+        # form reads the 4 tap pixels per output pixel (O(pixels) HBM,
+        # no MXU). Boxes vary per step (xs); frames ride in params.
+        from botsort_tpu.ops import crop as crop_mod
+
+        def rand_boxes(k, n):
+            x1 = rng.uniform(0, 1600, (k, n))
+            y1 = rng.uniform(0, 700, (k, n))
+            w = rng.uniform(40, 320, (k, n))
+            h = rng.uniform(80, 380, (k, n))
+            return jnp.asarray(np.floor(np.stack(
+                [x1, y1, x1 + w, y1 + h], axis=-1)), jnp.float32)
+
+        frame = jnp.asarray(rng.integers(0, 255, (1080, 1920, 3)),
+                            jnp.uint8)
+        frames8 = jnp.asarray(rng.integers(0, 255, (8, 1080, 1920, 3)),
+                              jnp.uint8)
+        variants = (
+            ("einsum_bf16", crop_mod.crop_and_resize, jnp.bfloat16),
+            ("gather_bf16", crop_mod.crop_and_resize_gather, jnp.bfloat16),
+            ("gather_f32", crop_mod.crop_and_resize_gather, jnp.float32),
+        )
+        # (tag, n_crops, out_hw, batched-over-8-frames)
+        geos = (("body50", 50, (256, 128), False),
+                ("face16", 16, (128, 128), False),
+                ("body8x16", 16, (256, 128), True),
+                ("face8x16", 16, (128, 128), True))
+        for gtag, n, out_hw, batched in geos:
+            est_gf = (n * (8 if batched else 1)
+                      * 2e-9 * 1080 * out_hw[1] * 1920 * 3)
+            kk = max(args.k, int(25e-3 / (est_gf / 197e3 / 0.3)))
+            kk = min(kk, 512)
+            bx = rand_boxes(kk, n * 8 if batched else n)
+            if batched:
+                bx = bx.reshape(kk, 8, n, 4)
+            for vtag, fn, cdt in variants:
+                if batched:
+                    def step(fr, c, b, _fn=fn, _cdt=cdt, _hw=out_hw):
+                        crops = jax.vmap(
+                            lambda f, bb: _fn(f, bb, _hw,
+                                              compute_dtype=_cdt)
+                        )(fr, b)
+                        return c, crops[:, :, ::37, ::19, 0]
+                    sec = time_scan(step, frames8, jnp.zeros(()), bx, kk)
+                else:
+                    def step(fr, c, b, _fn=fn, _cdt=cdt, _hw=out_hw):
+                        crops = _fn(fr, b, _hw, compute_dtype=_cdt)
+                        return c, crops[:, ::37, ::19, 0]
+                    sec = time_scan(step, frame, jnp.zeros(()), bx, kk)
+                print(json.dumps({"stage": f"crop_{gtag}_{vtag}",
+                                  "k": kk,
+                                  "ms": round(sec * 1e3, 3)}), flush=True)
+
     if "resize" in stages:
         # The per-frame 1080p -> detector-input preprocessing.
         frames = jnp.asarray(
@@ -1270,6 +1345,52 @@ def main():
                         (tlbr, scores, valid, bfk, ffk), kk)
         print(json.dumps({"stage": f"batchedcasc_solver_B{B}_d{d}",
                           "ms": round(sec * 1e3, 3)}), flush=True)
+
+    if "batchedtemporal" in stages:
+        # 8-stream aggregate FPS: frame_step_batched (T=1) vs the
+        # temporal variant batching T consecutive frames per stream in
+        # one dispatch (detector batch B*T, ReID chunks B*T*r crops) —
+        # bitwise-equal outputs, T-1 frames of added latency. The bench
+        # geometry: moderate-16 config, bucket 16, 1080p frames.
+        from botsort_tpu.pipeline.frame_step import (
+            frame_step_batched, frame_step_batched_temporal)
+        from botsort_tpu.track.state import empty_store
+
+        cfg = TrackerConfig(det_score_threshold=0.2,
+                            track_high_thresh=0.15,
+                            track_low_thresh=0.05,
+                            new_track_thresh=0.2, max_dets=16)
+        nms_cfg, pipe_cfg = NMSConfig(), PipelineConfig()
+        B = 8
+        frames4 = [jnp.asarray(rng.integers(0, 255, (1080, 1920, 3)),
+                               jnp.uint8) for _ in range(4)]
+        one = empty_store(cfg)
+        for t in (1, 2, 4):
+            k = max(16 // t, 4)
+            flat = jnp.stack(frames4 * (k * B * t // 4))
+            if t == 1:
+                fk = flat.reshape((k, B) + flat.shape[1:])
+
+                def body(bund, s, f):
+                    s2, out = frame_step_batched(
+                        bund, s, f, cfg, nms_cfg, pipe_cfg, None, 16)
+                    return s2, out.tracks.valid
+            else:
+                fk = flat.reshape((k, B, t) + flat.shape[1:])
+
+                def body(bund, s, f):
+                    s2, out = frame_step_batched_temporal(
+                        bund, s, f, cfg, nms_cfg, pipe_cfg, None, 16)
+                    return s2, out.tracks.valid
+            stores = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (B,) + x.shape), one)
+            sec = time_scan(body, bundle, stores, fk, k * t * B)
+            print(json.dumps({
+                "stage": f"batched8_t{t}",
+                "frames_per_dispatch": B * t,
+                "aggregate_fps": round(1.0 / sec, 1),
+                "per_stream_fps": round(1.0 / sec / B, 2),
+            }), flush=True)
 
     if "emptybisect" in stages:
         # In-context truncation bisection of the EMPTY config (width-50
