@@ -18,7 +18,22 @@ Dtype = Any
 
 
 class ConvBN(nn.Module):
-    """Conv2D + BatchNorm + activation (the YOLOX "BaseConv")."""
+    """Conv2D + BatchNorm + activation (the YOLOX "BaseConv").
+
+    pad_in / pad_out: channel-pad (chpad) lowering. The conv consumes
+    ``cin + pad_in`` input channels (the extra kernel rows are ZERO, so
+    any values in the padded input lanes are ignored) and emits
+    ``features + pad_out`` channels (the extra kernel columns are zero;
+    BN runs with zero scale/bias and unit variance on the pad, so pad
+    outputs are exactly act(0)). Mathematically identical on the first
+    ``features`` channels; the point is MXU lane occupancy — a
+    sub-128-channel conv leaves output lanes idle, and padding to the
+    128 boundary trades nominal FLOPs (which were idle lanes) for full
+    tiles (measured on dark2, docs/PERF.md). Param tree is IDENTICAL
+    (Conv_0/BatchNorm_0 created as usual; the padded kernel is built at
+    apply time), but the lowering bypasses ``nn.Conv.__call__`` — keep
+    it OFF when importing weights (same caveat as dgfa/splitsum).
+    """
 
     features: int
     kernel: int = 3
@@ -26,11 +41,15 @@ class ConvBN(nn.Module):
     groups: int = 1
     act: Callable | None = nn.silu
     dtype: Dtype = jnp.bfloat16
+    pad_in: int = 0
+    pad_out: int = 0
 
     @nn.compact
     def __call__(self, x):
+        import jax
+
         pad = (self.kernel - 1) // 2
-        x = nn.Conv(
+        conv = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
@@ -38,13 +57,41 @@ class ConvBN(nn.Module):
             feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,
-        )(x)
-        x = nn.BatchNorm(
+            name="Conv_0",
+        )
+        bn = nn.BatchNorm(
             use_running_average=True,
             momentum=0.97,
             epsilon=1e-3,
             dtype=self.dtype,
-        )(x)
+            name="BatchNorm_0",
+        )
+        if ((self.pad_in or self.pad_out)
+                and not self.is_initializing()):
+            assert self.groups == 1, "chpad assumes an ungrouped conv"
+            k = self.variables["params"]["Conv_0"]["kernel"]
+            kp = jnp.pad(k, ((0, 0), (0, 0), (0, self.pad_in),
+                             (0, self.pad_out)))
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kp.astype(self.dtype),
+                (self.stride, self.stride), ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            # flax BatchNorm inference math, with padded stats: f32
+            # promotion, then ((x - mean) * (rsqrt(var+eps) * scale))
+            # + bias, then the cast — matching nn.BatchNorm's
+            # _normalize exactly so the real channels are bit-identical
+            # (flax 0.12 _normalize with force_float32_reductions).
+            bnp = self.variables["params"]["BatchNorm_0"]
+            bns = self.variables["batch_stats"]["BatchNorm_0"]
+            po = (0, self.pad_out)
+            mean = jnp.pad(bns["mean"], po)
+            var = jnp.pad(bns["var"], po, constant_values=1.0)
+            mul = jax.lax.rsqrt(var + 1e-3) * jnp.pad(bnp["scale"], po)
+            bias = jnp.pad(bnp["bias"], po)
+            y = (y - mean) * mul + bias
+            x = y.astype(self.dtype)
+        else:
+            x = bn(conv(x))
         if self.act is not None:
             x = self.act(x)
         return x
@@ -68,17 +115,28 @@ class DWConv(nn.Module):
 
 
 class Bottleneck(nn.Module):
+    """chpad: channel-pad target width for the whole bottleneck — both
+    convs consume AND emit ``chpad``-wide activations (zero kernel
+    rows/cols beyond the real channels; see ConvBN). The residual add
+    then runs on padded tensors whose pad lanes are exactly act(0) on
+    both sides."""
+
     features: int
     shortcut: bool = True
     expansion: float = 0.5
     dtype: Dtype = jnp.bfloat16
+    chpad: int = 0
 
     @nn.compact
     def __call__(self, x):
         hidden = int(self.features * self.expansion)
-        y = ConvBN(hidden, 1, 1, dtype=self.dtype)(x)
-        y = ConvBN(self.features, 3, 1, dtype=self.dtype)(y)
-        if self.shortcut and x.shape[-1] == self.features:
+        p_h = max(self.chpad - hidden, 0)
+        p_f = max(self.chpad - self.features, 0)
+        y = ConvBN(hidden, 1, 1, dtype=self.dtype,
+                   pad_in=p_f if self.chpad else 0, pad_out=p_h)(x)
+        y = ConvBN(self.features, 3, 1, dtype=self.dtype,
+                   pad_in=p_h, pad_out=p_f)(y)
+        if self.shortcut and x.shape[-1] == self.features + p_f:
             y = y + x
         return y
 
@@ -122,18 +180,26 @@ class _SplitSumOut(nn.Module):
     features: int
     act: Callable | None = nn.silu
     dtype: Dtype = jnp.bfloat16
+    a_real: int | None = None
 
     @nn.compact
     def __call__(self, a, b):
         import jax
 
-        cin = a.shape[-1] + b.shape[-1]
+        # a may arrive channel-PADDED (CSPLayer chpad): a_real is the
+        # real channel count the stored kernel covers; the pad rows get
+        # zero weights, so the padded lanes are ignored exactly.
+        h = self.a_real if self.a_real is not None else a.shape[-1]
+        cin = h + b.shape[-1]
         kernel = _ConvKernel((1, 1, cin, self.features), name="Conv_0")()
         k = kernel.astype(self.dtype)
-        h = a.shape[-1]
+        ka = k[:, :, :h, :]
+        if a.shape[-1] != h:
+            ka = jnp.pad(ka, ((0, 0), (0, 0),
+                              (0, a.shape[-1] - h), (0, 0)))
         dn = ("NHWC", "HWIO", "NHWC")
         ya = jax.lax.conv_general_dilated(
-            a.astype(self.dtype), k[:, :, :h, :], (1, 1), "VALID",
+            a.astype(self.dtype), ka, (1, 1), "VALID",
             dimension_numbers=dn)
         yb = jax.lax.conv_general_dilated(
             b.astype(self.dtype), k[:, :, h:, :], (1, 1), "VALID",
@@ -160,17 +226,27 @@ class CSPLayer(nn.Module):
     shortcut: bool = True
     expansion: float = 0.5
     splitsum: bool = False
+    chpad: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         hidden = int(self.features * self.expansion)
-        a = ConvBN(hidden, 1, 1, dtype=self.dtype)(x)
+        # chpad: run the hidden bottleneck chain at the 128-lane
+        # boundary (zero-extended kernels; see ConvBN.pad_*) so its
+        # sub-128-channel convs fill MXU output tiles. Implies the
+        # splitsum output stage, whose a-kernel is row-padded to match.
+        hp = 128 if (self.chpad and hidden < 128
+                     and not self.is_initializing()) else hidden
+        a = ConvBN(hidden, 1, 1, dtype=self.dtype,
+                   pad_out=hp - hidden)(x)
         b = ConvBN(hidden, 1, 1, dtype=self.dtype)(x)
         for _ in range(self.n):
-            a = Bottleneck(hidden, self.shortcut, 1.0, dtype=self.dtype)(a)
-        if self.splitsum:
+            a = Bottleneck(hidden, self.shortcut, 1.0, dtype=self.dtype,
+                           chpad=hp if hp != hidden else 0)(a)
+        if self.splitsum or hp != hidden:
             return _SplitSumOut(self.features, dtype=self.dtype,
+                                a_real=hidden,
                                 name="ConvBN_2")(a, b)
         y = jnp.concatenate([a, b], axis=-1)
         return ConvBN(self.features, 1, 1, dtype=self.dtype)(y)

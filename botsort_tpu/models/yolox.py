@@ -61,25 +61,28 @@ class CSPDarknet(nn.Module):
     depth: float
     width: float
     splitsum_csp: Tuple[int, ...] = ()
+    chpad_csp: Tuple[int, ...] = ()
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         d, w, dt = self.depth, self.width, self.dtype
         ss = self.splitsum_csp
+        cp = self.chpad_csp
         x = Focus(_w(64, w), 3, dtype=dt)(x)                       # stem /2
         x = ConvBN(_w(128, w), 3, 2, dtype=dt)(x)                  # dark2 /4
-        x = CSPLayer(_w(128, w), _d(3, d), splitsum=0 in ss, dtype=dt)(x)
+        x = CSPLayer(_w(128, w), _d(3, d), splitsum=0 in ss,
+                     chpad=0 in cp, dtype=dt)(x)
         x = ConvBN(_w(256, w), 3, 2, dtype=dt)(x)                  # dark3 /8
         x = c3 = CSPLayer(_w(256, w), _d(9, d), splitsum=1 in ss,
-                          dtype=dt)(x)
+                          chpad=1 in cp, dtype=dt)(x)
         x = ConvBN(_w(512, w), 3, 2, dtype=dt)(x)                  # dark4 /16
         x = c4 = CSPLayer(_w(512, w), _d(9, d), splitsum=2 in ss,
-                          dtype=dt)(x)
+                          chpad=2 in cp, dtype=dt)(x)
         x = ConvBN(_w(1024, w), 3, 2, dtype=dt)(x)                 # dark5 /32
         x = SPPBottleneck(_w(1024, w), dtype=dt)(x)
         c5 = CSPLayer(_w(1024, w), _d(3, d), shortcut=False,
-                      splitsum=3 in ss, dtype=dt)(x)
+                      splitsum=3 in ss, chpad=3 in cp, dtype=dt)(x)
         return c3, c4, c5
 
 
@@ -147,16 +150,23 @@ class YOLOX(nn.Module):
     depth: float = 1.33
     width: float = 1.25
     splitsum_csp: Tuple[int, ...] = ()
+    chpad_csp: Tuple[int, ...] = ()
+    decode: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, images):
         feats = CSPDarknet(self.depth, self.width,
                            splitsum_csp=self.splitsum_csp,
+                           chpad_csp=self.chpad_csp,
                            dtype=self.dtype)(images)
         feats = PAFPN(self.depth, self.width, dtype=self.dtype)(feats)
         outs = DecoupledHead(self.num_classes, self.width,
                              dtype=self.dtype)(feats)
+        if not self.decode:
+            # Raw per-level maps (profiling / alternative decode
+            # lowerings; decode has no params, so the tree is shared).
+            return outs
         return decode_outputs(outs, self.num_classes)
 
 

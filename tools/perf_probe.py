@@ -491,6 +491,231 @@ def main():
         seg_time("splat_c_noattn", VariantC(), shape3,
                  lambda y: y[:, ::5, ::3, 0])
 
+    if "detvar8" in stages:
+        # Full-detector A/B at frame batch --db: production lowering
+        # (splitsum dark2) vs chpad variants (CSP hidden chain padded
+        # to 128 lanes; models/common.py::CSPLayer chpad). Full-model
+        # in-context numbers — dark2's standalone win dissolved at b1
+        # (docs/PERF.md), so only the composed delta counts.
+        from botsort_tpu.models.yolox import YOLOX
+
+        db = args.db
+        base = jnp.asarray(rng.uniform(0, 255, (db, 480, 640, 3)),
+                           jnp.float32)
+        deltas = jnp.linspace(0.0, 0.01, args.k)
+        variants = (
+            ("prod_splitsum0", dict(splitsum_csp=(0,))),
+            ("chpad0", dict(chpad_csp=(0,))),
+            ("chpad01", dict(chpad_csp=(0, 1))),
+        )
+        for tag, kw in variants:
+            mod = YOLOX(**kw)
+            params = jax.jit(mod.init)(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 480, 640, 3)))
+            sec = time_scan(
+                lambda p, c, f, _m=mod: (
+                    c, _m.apply(p[0], p[1] + f)[0][:, ::531, 0]),
+                (params, base), jnp.zeros(()), deltas, args.k)
+            g = model_conv_flops(mod, jnp.zeros((db, 480, 640, 3)))
+            print(json.dumps({
+                "stage": f"detvar_{tag}_b{db}",
+                "ms": round(sec * 1e3, 3),
+                "mfu": round(g / sec / V5E_PEAK_BF16, 4),
+            }), flush=True)
+
+    if "decodevar8" in stages:
+        # Decode + NMS seam attribution IN-CONTEXT at frame batch --db
+        # (standalone decode measured free at b1 — decodevar — yet the
+        # b8 segment delta head->head+decode is ~0.96 ms). Levels:
+        #   raw:        detector up to raw head maps (decode=False)
+        #   dec:        + decode_outputs as-is ([B, A, 4]/[B, A, C])
+        #   dect:       + transposed decode ([B, 4, A]/[B, C, A] built
+        #               from per-channel planes — anchors on lanes)
+        #   dec_nms:    decode + per-stream NMS (the production seam)
+        from botsort_tpu.models.yolox import STRIDES, YOLOX
+        from botsort_tpu.ops import nms as nms_mod
+
+        db = args.db
+        base = jnp.asarray(rng.uniform(0, 255, (db, 480, 640, 3)),
+                           jnp.float32)
+        deltas = jnp.linspace(0.0, 0.01, args.k)
+        raw_mod = YOLOX(decode=False)
+        dec_mod = YOLOX()
+        params = jax.jit(raw_mod.init)(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 480, 640, 3)))
+
+        def decode_t(outs, num_classes):
+            # Same math as decode_outputs, assembled anchor-lane-major.
+            cols_b, cols_s = [], []
+            for out, stride in zip(outs, STRIDES):
+                bb, h, w, _ = out.shape
+                out = out.astype(jnp.float32)
+                gy = jnp.arange(h, dtype=jnp.float32)[:, None]
+                gx = jnp.arange(w, dtype=jnp.float32)[None, :]
+                cx = ((out[..., 0] + gx) * stride).reshape(bb, h * w)
+                cy = ((out[..., 1] + gy) * stride).reshape(bb, h * w)
+                bw = (jnp.exp(jnp.minimum(out[..., 2], 20.0))
+                      * stride).reshape(bb, h * w)
+                bh = (jnp.exp(jnp.minimum(out[..., 3], 20.0))
+                      * stride).reshape(bb, h * w)
+                obj = jax.nn.sigmoid(out[..., 4]).reshape(bb, h * w)
+                cols_b.append(jnp.stack(
+                    [cx - bw / 2, cy - bh / 2,
+                     cx + bw / 2, cy + bh / 2], axis=1))   # [B, 4, hw]
+                cols_s.append(jnp.stack(
+                    [jax.nn.sigmoid(out[..., 5 + c]).reshape(bb, h * w)
+                     * obj for c in range(num_classes)],
+                    axis=1))                               # [B, C, hw]
+            return (jnp.concatenate(cols_b, axis=2),
+                    jnp.concatenate(cols_s, axis=2))
+
+        def run(tag, fn):
+            sec = time_scan(fn, (params, base), jnp.zeros(()), deltas,
+                            args.k)
+            print(json.dumps({"stage": f"decv_{tag}_b{db}",
+                              "ms": round(sec * 1e3, 3)}), flush=True)
+
+        run("raw", lambda p, c, f: (
+            c, sum(o[:, ::7, ::11, 0].sum() for o in
+                   raw_mod.apply(p[0], p[1] + f))))
+        run("dec", lambda p, c, f: (
+            c, dec_mod.apply(p[0], p[1] + f)[0][:, ::531, 0]))
+
+        def step_dect(p, c, f):
+            outs = raw_mod.apply(p[0], p[1] + f)
+            bx, sc = decode_t(outs, 4)
+            return c, bx[:, 0, ::531]
+
+        run("dect", step_dect)
+
+        def step_dec_nms(p, c, f):
+            bx, sc = dec_mod.apply(p[0], p[1] + f)
+            dets = jax.vmap(lambda b_, s_: nms_mod.multiclass_nms_dense(
+                b_, s_, iou_threshold=0.4, score_threshold=0.25,
+                max_per_class=50, pre_nms_top_k=512))(bx, sc)
+            return c, dets.boxes[:, 0, :, 0]
+
+        run("dec_nms", step_dec_nms)
+
+    if "bstemseg" in stages:
+        # Body-stem internal bisection + exact relowering candidates at
+        # the LOADED geometry (--b crops). The stem measures 9.3% MFU
+        # at b=50 (bodyseg) against a ~25% output-lane cap (32-channel
+        # convs) — this stage finds where the extra gap lives and races
+        # the candidates:
+        #   conv1/conv2/conv3/pool: each layer alone
+        #   asis:      the production stem
+        #   s2dfold:   conv1 folded into a 2x2 conv over the
+        #              space-to-depth-packed input (12ch) — kills the
+        #              3-channel lane-padded input reads if those are
+        #              the cost (exact: same 27 weights, 1.78x nominal)
+        #   pack4:     4 crops packed on channels, conv2/conv3 as
+        #              block-diagonal DENSE convs (dgfa on the batch
+        #              axis): full 128 lanes at 4x nominal FLOPs
+        import flax.linen as nn
+
+        from botsort_tpu.models.fastreid import _ConvBN
+
+        def seg_time(name, mod, in_shape, out_slice):
+            params = jax.jit(mod.init)(jax.random.PRNGKey(0),
+                                       jnp.zeros(in_shape))
+            base = jnp.asarray(rng.uniform(0, 1, in_shape), jnp.float32)
+            deltas = jnp.linspace(0.0, 0.01, args.k)
+            sec = time_scan(
+                lambda p, c, f, _m=mod: (
+                    c, out_slice(_m.apply(p[0], p[1] + f))),
+                (params, base), jnp.zeros(()), deltas, args.k)
+            g = model_conv_flops(mod, jnp.zeros(in_shape))
+            print(json.dumps({
+                "stage": name, "ms": round(sec * 1e3, 3),
+                "gflops": round(g / 1e9, 1),
+                "mfu": round(g / sec / V5E_PEAK_BF16, 4),
+            }), flush=True)
+
+        b = args.b
+
+        class L1(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return _ConvBN(32, 3, 2)(x)
+
+        class L2(nn.Module):
+            feats: int = 32
+
+            @nn.compact
+            def __call__(self, x):
+                return _ConvBN(self.feats, 3, 1)(x)
+
+        class Pool(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.max_pool(x, (3, 3), strides=(2, 2),
+                                   padding=((1, 1), (1, 1)))
+
+        class StemAsIs(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = _ConvBN(32, 3, 2)(x)
+                x = _ConvBN(32, 3, 1)(x)
+                x = _ConvBN(64, 3, 1)(x)
+                return nn.max_pool(x, (3, 3), strides=(2, 2),
+                                   padding=((1, 1), (1, 1)))
+
+        def s2d(x):
+            return jnp.concatenate(
+                [x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+                 x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
+
+        class StemS2DFold(nn.Module):
+            """conv1 (3x3/s2/pad1 on 3ch) == 2x2/pad(1,0) conv on the
+            2x2-space-to-depth input (12ch): output pixel (i,j) reads
+            original rows 2i-1..2i+1 = packed blocks {i-1, i}."""
+
+            @nn.compact
+            def __call__(self, x):
+                x = s2d(x)                     # [B, 128, 64, 12]
+                x = nn.Conv(32, (2, 2), strides=(1, 1),
+                            padding=((1, 0), (1, 0)), use_bias=False,
+                            dtype=jnp.bfloat16)(x)
+                x = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                                 dtype=jnp.bfloat16)(x)
+                x = nn.relu(x)
+                x = _ConvBN(32, 3, 1)(x)
+                x = _ConvBN(64, 3, 1)(x)
+                return nn.max_pool(x, (3, 3), strides=(2, 2),
+                                   padding=((1, 1), (1, 1)))
+
+        class StemPack4(nn.Module):
+            """4 crops channel-packed; conv2/conv3 dense block-diag
+            (128->128 / 128->256 with 3/4 of the weights zero)."""
+
+            @nn.compact
+            def __call__(self, x):             # [B/4, 256, 128, 12]
+                x = _ConvBN(4 * 32, 3, 2, groups=4,
+                            dense_groups=True)(x)
+                x = _ConvBN(4 * 32, 3, 1, groups=4,
+                            dense_groups=True)(x)
+                x = _ConvBN(4 * 64, 3, 1, groups=4,
+                            dense_groups=True)(x)
+                return nn.max_pool(x, (3, 3), strides=(2, 2),
+                                   padding=((1, 1), (1, 1)))
+
+        seg_time("bstem_conv1", L1(), (b, 256, 128, 3),
+                 lambda y: y[:, ::7, ::5, 0])
+        seg_time("bstem_conv2", L2(32), (b, 128, 64, 32),
+                 lambda y: y[:, ::7, ::5, 0])
+        seg_time("bstem_conv3", L2(64), (b, 128, 64, 32),
+                 lambda y: y[:, ::7, ::5, 0])
+        seg_time("bstem_pool", Pool(), (b, 128, 64, 64),
+                 lambda y: y[:, ::7, ::5, 0])
+        seg_time("bstem_asis", StemAsIs(), (b, 256, 128, 3),
+                 lambda y: y[:, ::7, ::5, 0])
+        seg_time("bstem_s2dfold", StemS2DFold(), (b, 256, 128, 3),
+                 lambda y: y[:, ::7, ::5, 0])
+        bp = -(-b // 4)
+        seg_time("bstem_pack4", StemPack4(), (bp, 256, 128, 12),
+                 lambda y: y[:, ::7, ::5, 0])
+
     if "splatvar" in stages:
         # Exact-math SplAt lowering variants at the LOW-MFU stage
         # geometries (stage1 11.5% MFU, stage2 34% — tools bodyseg).
@@ -616,10 +841,27 @@ def main():
                 "stage": name, "ms": round(sec * 1e3, 3)}))
             return sec
 
-        b = 64
+        b = args.b
         shape = (b, 256, 128, 3)
         blocks = (3, 4, 6, 3)
         widths = (64, 128, 256, 512)
+
+        # Harness floor: an identity-ish program on the same input —
+        # the fixed cost every standalone probe at this shape carries
+        # (bstemseg measured single stem LAYERS at >1 ms while the
+        # composed stem runs 1.28; the deltas below cancel this).
+        import flax.linen as nn2
+
+        class Ident(nn2.Module):
+            @nn2.compact
+            def __call__(self, x):
+                return x * jnp.float32(1.0001)
+
+        cum_time("cum_harness_floor", Ident(), shape,
+                 lambda y: y[:, ::7, ::5, 0])
+
+        # Production lowering: dgfa on stages 0-1 (build_bundle's TPU
+        # default) so deltas attribute what the pipeline actually runs.
         prev = cum_time("cum_stem", ResNeSt50(stage_blocks=(),
                                               stage_widths=()),
                         shape, lambda y: y[:, ::7, ::5, 0])
@@ -627,7 +869,8 @@ def main():
             sec = cum_time(
                 f"cum_stem_to_stage{n}",
                 ResNeSt50(stage_blocks=blocks[:n],
-                          stage_widths=widths[:n]),
+                          stage_widths=widths[:n],
+                          dgfa_stages=(0, 1)),
                 shape, lambda y: y[:, ::7, ::5, 0])
             print(json.dumps({"stage": f"delta_stage{n}",
                               "ms": round((sec - prev) * 1e3, 3)}))
