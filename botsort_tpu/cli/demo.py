@@ -142,6 +142,9 @@ def main(argv=None):
     tracker_cfg = TrackerConfig(
         body_feature_dim=2048 if not args.mini else 256,
         face_feature_dim=256,
+        # mini = smoke geometry: 8 det slots keeps compiled programs
+        # small (the 50-slot width dominated CI compile time).
+        max_dets=TrackerConfig().max_dets if not args.mini else 8,
     )
     if args.int8:
         import numpy as np

@@ -48,7 +48,8 @@ def main(argv=None):
         disable_reid=args.no_reid)
     tracker_cfg = TrackerConfig(
         body_feature_dim=2048 if not args.mini else 256,
-        face_feature_dim=256)
+        face_feature_dim=256,
+        max_dets=TrackerConfig().max_dets if not args.mini else 8)
     pipeline = BoTSORTPipeline(bundle, tracker_cfg, NMSConfig(), pipe_cfg)
 
     cap = PrefetchingCapture(args.video)

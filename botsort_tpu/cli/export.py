@@ -57,7 +57,8 @@ def main(argv=None):
 
     bundle = build_bundle(weights_dir=args.weights_dir, mini=args.mini)
     tracker_cfg = TrackerConfig() if not args.mini else TrackerConfig(
-        max_tracks=16, body_feature_dim=256, face_feature_dim=256)
+        max_tracks=16, max_dets=8, body_feature_dim=256,
+        face_feature_dim=256)
     nms_cfg = NMSConfig()
     pipe_cfg = PipelineConfig() if not args.mini else PipelineConfig(
         detector_input_hw=(96, 128), body_reid_input_hw=(64, 32),

@@ -77,7 +77,8 @@ def main(argv=None):
         face_reid_input_hw=(32, 32), max_reid_batch=4)
     tracker_cfg = TrackerConfig(
         body_feature_dim=2048 if not args.mini else 256,
-        face_feature_dim=256)
+        face_feature_dim=256,
+        max_dets=TrackerConfig().max_dets if not args.mini else 8)
 
     b = len(args.videos)
     from botsort_tpu.runtime.envelope import stream_envelope_warning

@@ -132,7 +132,11 @@ def build_pipeline_factory(args):
         bundle = quantize_bundle(bundle, pipe_cfg=pipe_cfg)
     tracker_cfg = TrackerConfig(
         body_feature_dim=2048 if not args.mini else 256,
-        face_feature_dim=256)
+        face_feature_dim=256,
+        # mini = CI/smoke geometry: 8 det slots keeps the compiled
+        # cascade/NMS/bucket programs small (the full 50-slot width at
+        # mini model scale dominated suite compile time).
+        max_dets=TrackerConfig().max_dets if not args.mini else 8)
 
     def factory():
         return BoTSORTPipeline(bundle, tracker_cfg, NMSConfig(), pipe_cfg)

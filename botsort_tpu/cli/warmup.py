@@ -59,7 +59,8 @@ def main(argv=None):
     cache = setup_compilation_cache()
     bundle = build_bundle(weights_dir=args.weights_dir, mini=args.mini)
     tracker_cfg = TrackerConfig() if not args.mini else TrackerConfig(
-        max_tracks=16, body_feature_dim=256, face_feature_dim=256)
+        max_tracks=16, max_dets=8, body_feature_dim=256,
+        face_feature_dim=256)
     nms_cfg = NMSConfig()
     if args.mini:
         pipe_cfg = PipelineConfig(

@@ -106,6 +106,14 @@ class PipelineConfig:
     max_reid_batch: int = 16
     # Compute dtype for the neural nets (tracker math stays float32).
     compute_dtype: str = "bfloat16"
+    # Run the ReID crop-resize x-phase contraction on the int8 MXU (2x
+    # the bf16 rate; ops/crop.py::crop_and_resize_int8). Exact integer
+    # dequantization — the only approximation is rounding the 2-tap
+    # interpolation weights to 1/127 steps: <= ~1 intensity level vs
+    # the float32 path (the bf16 path is itself ~0.7). Applies only
+    # when compute_dtype is bfloat16 and the source frame is uint8;
+    # float32 compute (oracle parity tests) keeps exact interpolation.
+    crop_int8: bool = True
     # Classes to emit in outputs/drawing (the README documents
     # -tc/--track_target_classes but the reference never implements it —
     # README.md:71,86-88; we do). Default matches the reference's

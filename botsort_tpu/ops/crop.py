@@ -121,6 +121,54 @@ def crop_and_resize(
     return jnp.where(good[:, None, None, None], out, 0.0)
 
 
+def crop_and_resize_int8(
+    image: jnp.ndarray,
+    boxes_tlbr: jnp.ndarray,
+    out_hw: tuple[int, int],
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """crop_and_resize with the x-phase contraction on the int8 MXU.
+
+    The x phase is the crop's FLOP bulk (it contracts every output
+    column against the full frame width); v5e's int8 MXU rate is 2x
+    bf16. uint8 pixels shift exactly to s8 (p - 128); the 2-tap weights
+    (1-wx, wx) quantize to (127-q, q)/127, whose per-row sum is exactly
+    127, so dequantization is (acc + 128*127)/127 with NO approximation
+    beyond the weight rounding: |wx - q/127| <= 1/254, i.e. <= ~1
+    intensity level on the output (the bf16 y phase adds <= ~0.5 more).
+    Measured: 128-crop face batch 2.28 -> 1.22 ms, body 3.02 -> 2.57
+    (tools/perf_probe.py --stages cropvar, k >= 64).
+
+    Requires a uint8 source image (the production path: BGR camera
+    frames); callers with float sources use crop_and_resize.
+    """
+    assert image.dtype == jnp.uint8, "int8 crop expects a uint8 frame"
+    img_h, img_w = image.shape[0], image.shape[1]
+    out_h, out_w = out_hw
+    y0, x0, y1i, x1i, wy, wx, good = _sample_grid(image, boxes_tlbr, out_hw)
+
+    imgq = (image.astype(jnp.int16) - 128).astype(jnp.int8)
+    qx = jnp.round(wx * 127.0).astype(jnp.int8)
+    col_ids = jnp.arange(img_w, dtype=jnp.int32)
+    wx_q = (
+        (col_ids[None, None, :] == x0[:, :, None]) * (127 - qx[:, :, None])
+        + (col_ids[None, None, :] == x1i[:, :, None]) * qx[:, :, None]
+    ).astype(jnp.int8)                          # [N, out_w, W]
+    acc = jnp.einsum("nxw,hwc->nhxc", wx_q, imgq,
+                     preferred_element_type=jnp.int32)
+    tmp = ((acc.astype(jnp.float32) + 128.0 * 127.0) / 127.0).astype(
+        jnp.bfloat16)                           # [N, H, out_w, 3]
+
+    row_ids = jnp.arange(img_h, dtype=jnp.int32)
+    wy_mat = (
+        (row_ids[None, None, :] == y0[:, :, None]) * (1.0 - wy[:, :, None])
+        + (row_ids[None, None, :] == y1i[:, :, None]) * wy[:, :, None]
+    ).astype(jnp.bfloat16)                      # [N, out_h, H]
+    out = jnp.einsum("nrh,nhxc->nrxc", wy_mat, tmp,
+                     preferred_element_type=jnp.float32)
+    return jnp.where(good[:, None, None, None], out, 0.0)
+
+
 def crop_and_resize_gather(
     image: jnp.ndarray,
     boxes_tlbr: jnp.ndarray,

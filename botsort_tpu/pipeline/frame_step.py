@@ -60,6 +60,17 @@ def _compute_dtype(pipe_cfg: PipelineConfig):
     return jnp.dtype(pipe_cfg.compute_dtype)
 
 
+def _crop(image, tlbr, out_hw, pdt, pipe_cfg):
+    """ReID crop-resize dispatch: the int8-x-phase lowering on the
+    production path (bf16 compute, uint8 frame — 2x MXU rate, <= ~1
+    intensity level; ops/crop.py::crop_and_resize_int8), the exact
+    einsum otherwise (float32 compute = oracle tests, float frames)."""
+    if (pipe_cfg.crop_int8 and pdt == jnp.bfloat16
+            and image.dtype == jnp.uint8):
+        return crop.crop_and_resize_int8(image, tlbr, out_hw)
+    return crop.crop_and_resize(image, tlbr, out_hw, compute_dtype=pdt)
+
+
 def _det_width(tracker_cfg: TrackerConfig, nms_cfg: NMSConfig) -> int:
     """Tracker body-det slot count: every one of these is embedded by
     ReID and fed to association (the reference embeds ALL detections,
@@ -345,9 +356,8 @@ def frame_step(
     n_live = jnp.sum(body_valid)
 
     def encode_body(tlbr_chunk):
-        crops = crop.crop_and_resize(
-            frame_bgr, tlbr_chunk, pipe_cfg.body_reid_input_hw,
-            compute_dtype=pdt)
+        crops = _crop(frame_bgr, tlbr_chunk, pipe_cfg.body_reid_input_hw,
+                      pdt, pipe_cfg)
         return bundle.body_encoder.apply(
             bundle.body_params, fastreid_mod.preprocess(crops))
 
@@ -367,9 +377,8 @@ def frame_step(
         jnp.zeros((dp, 4), jnp.float32))
 
     def encode_face(tlbr_chunk):
-        crops = crop.crop_and_resize(
-            frame_bgr, tlbr_chunk, pipe_cfg.face_reid_input_hw,
-            compute_dtype=pdt)
+        crops = _crop(frame_bgr, tlbr_chunk, pipe_cfg.face_reid_input_hw,
+                      pdt, pipe_cfg)
         return bundle.face_encoder.apply(bundle.face_params, crops)
 
     face_feats = _encode_faces(
@@ -540,8 +549,8 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
     def encode_body(tlbr_chunk):                        # [B, rc, 4]
         rc = tlbr_chunk.shape[1]
         crops = jax.vmap(
-            lambda f, bt: crop.crop_and_resize(
-                f, bt, pipe_cfg.body_reid_input_hw, compute_dtype=pdt)
+            lambda f, bt: _crop(f, bt, pipe_cfg.body_reid_input_hw,
+                                pdt, pipe_cfg)
         )(frames_bgr, tlbr_chunk)
         return bundle.body_encoder.apply(
             bundle.body_params,
@@ -572,8 +581,8 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
     def encode_face(tlbr_chunk):
         rc = tlbr_chunk.shape[1]
         crops = jax.vmap(
-            lambda f, ft: crop.crop_and_resize(
-                f, ft, pipe_cfg.face_reid_input_hw, compute_dtype=pdt)
+            lambda f, ft: _crop(f, ft, pipe_cfg.face_reid_input_hw,
+                                pdt, pipe_cfg)
         )(frames_bgr, tlbr_chunk)
         return bundle.face_encoder.apply(
             bundle.face_params,

@@ -71,6 +71,27 @@ def test_gather_matches_einsum():
     assert np.abs(a - g16).max() < 3.0
 
 
+def test_int8_crop_close_to_f32():
+    """The int8-x-phase lowering's only approximation is rounding the
+    2-tap weights to 1/127 steps: <= ~1 intensity level vs float32
+    (plus the bf16 y phase's ~0.5); dequantization is exact integer
+    math (weight rows sum to exactly 127)."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (240, 320, 3)).astype(np.uint8)
+    boxes = []
+    for _ in range(13):
+        x1 = rng.uniform(0, 280)
+        y1 = rng.uniform(0, 200)
+        boxes.append([x1, y1, x1 + rng.uniform(1, 40),
+                      y1 + rng.uniform(1, 40)])
+    boxes = np.floor(np.asarray(boxes, np.float32))
+    f32 = np.asarray(crop.crop_and_resize(
+        jnp.asarray(img), jnp.asarray(boxes), (64, 32)))
+    q = np.asarray(crop.crop_and_resize_int8(
+        jnp.asarray(img), jnp.asarray(boxes), (64, 32)))
+    assert np.abs(f32 - q).max() < 1.6
+
+
 def test_crop_degenerate_box_is_zero():
     img = jnp.ones((50, 50, 3))
     boxes = jnp.asarray([[10.0, 10.0, 10.0, 30.0]])  # zero width

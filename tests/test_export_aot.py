@@ -24,8 +24,8 @@ from botsort_tpu.runtime.exported import (
 )
 from botsort_tpu.track.state import empty_store
 
-TRACKER = TrackerConfig(max_tracks=16, body_feature_dim=256,
-                        face_feature_dim=256)
+TRACKER = TrackerConfig(max_tracks=16, max_dets=8,
+                        body_feature_dim=256, face_feature_dim=256)
 PIPE = PipelineConfig(detector_input_hw=(96, 128),
                       body_reid_input_hw=(64, 32),
                       face_reid_input_hw=(32, 32), max_reid_batch=4)

@@ -110,8 +110,18 @@ def _feature_tail(layers):
     return onnx_lite.encode_model(nodes, inits)
 
 
+# Trace-sample spatial dims per model: conversion is spatial-
+# independent (conv/BN params and execution order don't change), and
+# the full-scale XLA:CPU init at deployment resolution was the single
+# slowest item in the suite (278 s for YOLOX-X at 480x640; ~25x less
+# conv work at these dims). Layer COUNTS/widths stay the real ones.
+TRACE_HW = {"yolox": (96, 128), "fastreid": (64, 32),
+            "facereid": (128, 128)}
+
+
 def _roundtrip(name, encode, tmp_path):
-    model, sample = import_onnx.build_model(name)   # FULL scale
+    model, sample = import_onnx.build_model(
+        name, input_hw=TRACE_HW[name])              # FULL scale params
     params = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
     # A topologically-sorted ONNX export lists weights in module CALL
     # order — which at full scale diverges from flatten (name-sort)
@@ -122,8 +132,10 @@ def _roundtrip(name, encode, tmp_path):
     onnx_path.write_bytes(encode(layers))
 
     out_dir = tmp_path / "weights" / name
+    hw = TRACE_HW[name]
     rc = import_onnx.main([
-        "--model", name, "--onnx", str(onnx_path), "--out", str(out_dir)])
+        "--model", name, "--onnx", str(onnx_path), "--out", str(out_dir),
+        "--input-hw", str(hw[0]), str(hw[1])])
     assert rc == 0
 
     import orbax.checkpoint as ocp

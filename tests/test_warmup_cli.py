@@ -33,7 +33,7 @@ def test_warmup_mini():
     from botsort_tpu.pipeline.frame_step import reid_bucket_set
 
     buckets = reid_bucket_set(
-        TrackerConfig(max_tracks=16, body_feature_dim=256,
+        TrackerConfig(max_tracks=16, max_dets=8, body_feature_dim=256,
                       face_feature_dim=256),
         NMSConfig(),
         PipelineConfig(detector_input_hw=(96, 128),

@@ -505,7 +505,14 @@ def dump_manifest(flax_entries, onnx_layers, file=None):
 BN_EPS = {"yolox": 1e-3, "fastreid": 1e-5, "facereid": 1e-5}
 
 
-def build_model(name: str, mini: bool = False):
+def build_model(name: str, mini: bool = False,
+                input_hw: "tuple[int, int] | None" = None):
+    """input_hw: trace-sample spatial dims. Conversion only needs ONE
+    forward trace to recover execution order, and conv/BN params are
+    spatial-independent — a smaller sample (any multiple of the
+    architecture's total stride) produces the identical param tree and
+    layer order at a fraction of the XLA:CPU compile cost. None = the
+    model's canonical deployment input."""
     import jax.numpy as jnp
 
     from botsort_tpu.models import FaceReID, FastReIDSBS, YOLOX
@@ -515,17 +522,15 @@ def build_model(name: str, mini: bool = False):
         model = {"yolox": YOLOX(**MINI["detector"]),
                  "fastreid": FastReIDSBS(**MINI["body"]),
                  "facereid": FaceReID(**MINI["face"])}[name]
-        sample = {"yolox": jnp.zeros((1, 96, 128, 3)),
-                  "fastreid": jnp.zeros((1, 64, 32, 3)),
-                  "facereid": jnp.zeros((1, 32, 32, 3))}[name]
-        return model, sample
+        hw = input_hw or {"yolox": (96, 128), "fastreid": (64, 32),
+                          "facereid": (32, 32)}[name]
+        return model, jnp.zeros((1,) + tuple(hw) + (3,))
     model = {"yolox": YOLOX(num_classes=4, depth=1.33, width=1.25),
              "fastreid": FastReIDSBS(),
              "facereid": FaceReID()}[name]
-    sample = {"yolox": jnp.zeros((1, 480, 640, 3)),
-              "fastreid": jnp.zeros((1, 256, 128, 3)),
-              "facereid": jnp.zeros((1, 128, 128, 3))}[name]
-    return model, sample
+    hw = input_hw or {"yolox": (480, 640), "fastreid": (256, 128),
+                      "facereid": (128, 128)}[name]
+    return model, jnp.zeros((1,) + tuple(hw) + (3,))
 
 
 def main(argv=None):
@@ -541,6 +546,11 @@ def main(argv=None):
                              "signature instead of aborting")
     parser.add_argument("--mini", action="store_true",
                         help="miniature architectures (CI smoke tests)")
+    parser.add_argument("--input-hw", type=int, nargs=2, default=None,
+                        metavar=("H", "W"),
+                        help="trace-sample spatial dims (conversion is "
+                             "spatial-independent; smaller = faster on "
+                             "CPU-only hosts)")
     parser.add_argument("--selfcheck", action="store_true",
                         help="after import, run the flax model on a fixed "
                              "input and print output statistics (compare "
@@ -556,7 +566,8 @@ def main(argv=None):
 
     from botsort_tpu.runtime.assets import save_checkpoint
 
-    model, sample = build_model(args.model, mini=args.mini)
+    model, sample = build_model(args.model, mini=args.mini,
+                                input_hw=args.input_hw)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
 
     nodes, init = load_onnx_graph(args.onnx)

@@ -127,6 +127,8 @@ def main():
                         help="crop batch for the bodyseg bisection")
     parser.add_argument("--db", type=int, default=1,
                         help="frame batch for the detseg bisection")
+    parser.add_argument("--tlist", default="1,2,4",
+                        help="T values for the batchedtemporal stage")
     parser.add_argument("--bf16-params", action="store_true",
                         help="pre-cast model params to bfloat16")
     args = parser.parse_args()
@@ -1274,8 +1276,43 @@ def main():
                             jnp.uint8)
         frames8 = jnp.asarray(rng.integers(0, 255, (8, 1080, 1920, 3)),
                               jnp.uint8)
+        def crop_int8(image, boxes_tlbr, out_hw, compute_dtype=None):
+            # x-phase as an s8 x s8 -> s32 matmul (v5e int8 MXU = 2x
+            # bf16): pixels shift to p-128; the 2-tap weights (1-wx)/wx
+            # quantize to q/127 with (127-q)+q = 127 exactly, so
+            # dequant is (acc + 128*127)/127 — weight-rounding error
+            # <= 1/254 (~1 intensity level), no other approximation.
+            img_h, img_w = image.shape[0], image.shape[1]
+            out_h, out_w = out_hw
+            y0, x0, y1i, x1i, wy, wx, good = crop_mod._sample_grid(
+                image, boxes_tlbr, out_hw)
+            imgq = (image.astype(jnp.int16) - 128).astype(jnp.int8)
+            qx = jnp.round(wx * 127.0).astype(jnp.int8)
+            col_ids = jnp.arange(img_w, dtype=jnp.int32)
+            wx_q = (
+                (col_ids[None, None, :] == x0[:, :, None])
+                * (127 - qx[:, :, None])
+                + (col_ids[None, None, :] == x1i[:, :, None])
+                * qx[:, :, None]
+            ).astype(jnp.int8)
+            acc = jnp.einsum("nxw,hwc->nhxc", wx_q, imgq,
+                             preferred_element_type=jnp.int32)
+            tmp = ((acc.astype(jnp.float32) + 128.0 * 127.0) / 127.0
+                   ).astype(jnp.bfloat16)
+            row_ids = jnp.arange(img_h, dtype=jnp.int32)
+            wy_mat = (
+                (row_ids[None, None, :] == y0[:, :, None])
+                * (1.0 - wy[:, :, None])
+                + (row_ids[None, None, :] == y1i[:, :, None])
+                * wy[:, :, None]
+            ).astype(jnp.bfloat16)
+            out = jnp.einsum("nrh,nhxc->nrxc", wy_mat, tmp,
+                             preferred_element_type=jnp.float32)
+            return jnp.where(good[:, None, None, None], out, 0.0)
+
         variants = (
             ("einsum_bf16", crop_mod.crop_and_resize, jnp.bfloat16),
+            ("einsum_int8", crop_int8, jnp.bfloat16),
             ("gather_bf16", crop_mod.crop_and_resize_gather, jnp.bfloat16),
             ("gather_f32", crop_mod.crop_and_resize_gather, jnp.float32),
         )
@@ -1285,9 +1322,12 @@ def main():
                 ("body8x16", 16, (256, 128), True),
                 ("face8x16", 16, (128, 128), True))
         for gtag, n, out_hw, batched in geos:
+            # >= ~150 ms of device work per measurement: at ~25 ms the
+            # tunnel-floor subtraction dominates the number (crop
+            # probes vary 30-50% across sessions at k=32).
             est_gf = (n * (8 if batched else 1)
                       * 2e-9 * 1080 * out_hw[1] * 1920 * 3)
-            kk = max(args.k, int(25e-3 / (est_gf / 197e3 / 0.3)))
+            kk = max(args.k, int(150e-3 / (est_gf / 197e3 / 0.3)))
             kk = min(kk, 512)
             bx = rand_boxes(kk, n * 8 if batched else n)
             if batched:
@@ -1608,7 +1648,7 @@ def main():
         frames4 = [jnp.asarray(rng.integers(0, 255, (1080, 1920, 3)),
                                jnp.uint8) for _ in range(4)]
         one = empty_store(cfg)
-        for t in (1, 2, 4):
+        for t in (int(v) for v in args.tlist.split(",")):
             k = max(16 // t, 4)
             flat = jnp.stack(frames4 * (k * B * t // 4))
             if t == 1:
