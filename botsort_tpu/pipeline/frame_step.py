@@ -310,10 +310,15 @@ def frame_step(
     in_h, in_w = pipe_cfg.detector_input_hw
 
     # --- Detector preprocess (demo:929-966): bilinear resize, raw BGR.
+    # cv2.resize INTER_LINEAR semantics via the full-frame crop op:
+    # jax.image.resize(method="linear") ANTIALIASES on downscale (a
+    # different filter — up to ~150/255 off cv2 on 1080p->480x640);
+    # ops/crop.py's 2-tap half-pixel form matches cv2 within 0.5
+    # (tests/test_crop_hierarchy.py::test_crop_resize_matches_cv2).
     pdt = _compute_dtype(pipe_cfg)
-    frame_f = frame_bgr.astype(pdt)
-    det_in = jax.image.resize(frame_f, (in_h, in_w, 3), method="linear")
-    det_in = det_in[None]
+    full = jnp.asarray(
+        [[0.0, 0.0, float(src_w), float(src_h)]], jnp.float32)
+    det_in = _crop(frame_bgr, full, (in_h, in_w), pdt, pipe_cfg)
 
     # --- Detect + NMS (in-graph for the reference, ours in ops/nms).
     cand_boxes, cand_scores = bundle.detector.apply(
@@ -495,10 +500,12 @@ def _perception_batched(bundle, frames_bgr, tracker_cfg, nms_cfg,
     bodies, heads, hands, faces = 0, 1, 2, 3
 
     pdt = _compute_dtype(pipe_cfg)
-    frames_f = frames_bgr.astype(pdt)
+    # cv2-faithful 2-tap resize (see frame_step's preprocess comment).
+    full = jnp.asarray(
+        [[0.0, 0.0, float(src_w), float(src_h)]], jnp.float32)
     det_in = jax.vmap(
-        lambda f: jax.image.resize(f, (in_h, in_w, 3), method="linear")
-    )(frames_f)
+        lambda f: _crop(f, full, (in_h, in_w), pdt, pipe_cfg)[0]
+    )(frames_bgr)
     if _truncate == "resize":
         return det_in[:, ::97, ::89, 0]
 

@@ -93,9 +93,15 @@ def oracle_perception(bundle, frame, nms_cfg, tracker_cfg, pipe_cfg):
     """Numpy NMS/rescale/hierarchy/crop-selection from the shared decode."""
     in_h, in_w = pipe_cfg.detector_input_hw
     frame_f = jnp.asarray(frame).astype(jnp.float32)
-    det_in = jax.image.resize(frame_f, (in_h, in_w, 3), method="linear")
+    # Same cv2-faithful full-frame crop-resize frame_step uses (the old
+    # jax.image.resize antialiases on downscale — a different filter).
+    src_h, src_w = frame.shape[0], frame.shape[1]
+    full = jnp.asarray([[0.0, 0.0, float(src_w), float(src_h)]],
+                       jnp.float32)
+    det_in = crop.crop_and_resize(jnp.asarray(frame), full, (in_h, in_w),
+                                  compute_dtype=jnp.float32)
     cand_boxes, cand_scores = jax.device_get(bundle.detector.apply(
-        bundle.detector_params, det_in[None]))
+        bundle.detector_params, det_in))
     cand_boxes, cand_scores = cand_boxes[0], cand_scores[0]
 
     k = nms_cfg.max_boxes_per_class
