@@ -364,9 +364,16 @@ def main():
     face_bucket = next(b for b in buckets if face_need <= b)
     assert face_need <= face_bucket, (face_need, buckets)
 
+    # k is sized PER CONFIG so device work per rep is ~0.7-1.3 s >> the
+    # ~27 ms tunnel floor: at the old k=32 the floor was ~8% of a loaded
+    # rep, so a +-30 ms floor misestimate (observed session range
+    # 23-60 ms) moved the reported number by the same ~8% — the likely
+    # bulk of the "driver reproduces 10-15% below session" gap
+    # (VERDICT r3 weak #1). With work >> floor the subtraction error is
+    # bounded at ~2-3% regardless of tunnel weather.
     st_loaded, compile_s, n_tracks = run_config(
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
-        empty_store, floor_s=floor_s, reid_bucket=buckets[-1],
+        empty_store, k=96, floor_s=floor_s, reid_bucket=buckets[-1],
         face_bucket=face_bucket, return_stats=True)
     fps_loaded = st_loaded["median"]
     if n_tracks < d_width:
@@ -385,14 +392,14 @@ def main():
     # tunnel round-trip amortizes across the K async dispatches.
     fps_host = run_host_path(
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
-        empty_store, floor_s=floor_s, reid_bucket=buckets[-1],
+        empty_store, k=128, floor_s=floor_s, reid_bucket=buckets[-1],
         face_bucket=face_bucket)
 
     # In-program dynamic bucketing (the scan fallback when the load is
     # unknown) on the same loaded scene, for transparency.
     fps_dyn, _, _ = run_config(
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
-        empty_store, floor_s=floor_s)
+        empty_store, k=96, floor_s=floor_s)
 
     # IoU-only association on the loaded scene (BASELINE config 1):
     # bucket 0 skips both encoders; with zero features the reference's
@@ -400,7 +407,7 @@ def main():
     # (config.py::PipelineConfig.disable_reid; demo --no_reid).
     fps_noreid, _, _ = run_config(
         frame_step, bundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
-        empty_store, floor_s=floor_s, reid_bucket=0, face_bucket=0)
+        empty_store, k=256, floor_s=floor_s, reid_bucket=0, face_bucket=0)
 
     # Pipeline floor with no detections: threshold 1.01 with the strict
     # '>' filter guarantees an empty scene — 0.99 did NOT (the top-50
@@ -411,7 +418,7 @@ def main():
     # host facade would. Guarded: aborts if any track ever goes live.
     fps_empty, _, n_tracks_empty = run_config(
         frame_step, bundle, TrackerConfig(det_score_threshold=1.01),
-        nms_cfg, pipe_cfg, frames, empty_store, floor_s=floor_s,
+        nms_cfg, pipe_cfg, frames, empty_store, k=384, floor_s=floor_s,
         reid_bucket=0)
     if n_tracks_empty != 0:
         raise SystemExit(
@@ -443,7 +450,8 @@ def main():
     moderate_cfg = dataclasses.replace(loaded_cfg, max_dets=16)
     st_mod, _, _ = run_config(
         frame_step, bundle, moderate_cfg, nms_cfg, pipe_cfg, frames,
-        empty_store, floor_s=floor_s, reid_bucket=16, return_stats=True)
+        empty_store, k=128, floor_s=floor_s, reid_bucket=16,
+        return_stats=True)
     fps_mod = st_mod["median"]
 
     # The mot20_sbs_S50 384x128 body-ReID operating point (BASELINE
@@ -453,7 +461,7 @@ def main():
     pipe_384 = dataclasses.replace(pipe_cfg, body_reid_input_hw=(384, 128))
     fps_mot20, _, _ = run_config(
         frame_step, bundle, moderate_cfg, nms_cfg, pipe_384, frames,
-        empty_store, floor_s=floor_s, reid_bucket=16)
+        empty_store, k=128, floor_s=floor_s, reid_bucket=16)
 
     # Multi-stream throughput: B streams batched through one chip
     # (pipeline/frame_step.py::frame_step_batched) at the moderate
@@ -461,7 +469,7 @@ def main():
     # aggregate equals single-stream x MFU headroom, adding no
     # information.)
     st_batched = run_batched(bundle, moderate_cfg, nms_cfg, pipe_cfg,
-                             frames, empty_store, b=8, k=16,
+                             frames, empty_store, b=8, k=40,
                              floor_s=floor_s, reid_bucket=16,
                              return_stats=True)
     fps_batched = st_batched["median"]
@@ -470,7 +478,7 @@ def main():
     # mot20_sbs_S50 384x128 ReID geometry (1.5x the 256x128 pixel load).
     st_batched_384 = run_batched(bundle, moderate_cfg, nms_cfg,
                                  pipe_384, frames, empty_store, b=8,
-                                 k=16, floor_s=floor_s, reid_bucket=16,
+                                 k=32, floor_s=floor_s, reid_bucket=16,
                                  return_stats=True)
     fps_batched_384 = st_batched_384["median"]
 
@@ -486,10 +494,10 @@ def main():
     qbundle = quantize_bundle(bundle, which=("body",), pipe_cfg=pipe_cfg)
     fps_loaded_q, _, _ = run_config(
         frame_step, qbundle, loaded_cfg, nms_cfg, pipe_cfg, frames,
-        empty_store, floor_s=floor_s, reid_bucket=buckets[-1],
+        empty_store, k=96, floor_s=floor_s, reid_bucket=buckets[-1],
         face_bucket=face_bucket)
     fps_batched_q = run_batched(qbundle, moderate_cfg, nms_cfg, pipe_cfg,
-                                frames, empty_store, b=8, k=16,
+                                frames, empty_store, b=8, k=40,
                                 floor_s=floor_s, reid_bucket=16)
 
     # v5e peak: 197 TFLOP/s bf16 (per chip).
@@ -524,7 +532,8 @@ def main():
                                "vs_baseline divides by its 30 FPS "
                                "real-time RTX-30xx TRT-fp16 operating "
                                "point (README latency overlays)",
-        "notes": "device-side throughput (32-step in-program scan, "
+        "notes": "device-side throughput (in-program scan sized per "
+                 "config so work >> tunnel floor, "
                  "MEDIAN of 5 reps — best + spread reported alongside, "
                  "fixed dev-tunnel dispatch round-trip "
                  "subtracted): full pipeline under load — YOLOX-X det "

@@ -40,7 +40,9 @@ import shutil  # noqa: E402
 
 from botsort_tpu.runtime.device import setup_compilation_cache  # noqa: E402
 
-_cache_dir = os.path.expanduser("~/.cache/botsort_tpu/xla-cpu-tests")
+_cache_dir = os.environ.get(
+    "BOTSORT_TPU_TEST_CACHE",
+    os.path.expanduser("~/.cache/botsort_tpu/xla-cpu-tests"))
 _sentinel = os.path.join(_cache_dir, ".session-in-progress")
 if os.path.exists(_sentinel):
     shutil.rmtree(_cache_dir, ignore_errors=True)
