@@ -84,20 +84,29 @@ class _StubDetector:
     def __init__(self):
         self._boxes: List[object] = []
 
-    def set_frame(self, det_tlbr, det_score):
+    def set_frame(self, det_tlbr, det_score, det_class=None):
+        """det_class: optional per-detection classid (0=body 1=head
+        2=hand 3=face, demo:1304-1370); defaults to all bodies."""
+        if det_class is None:
+            det_class = [0] * len(det_tlbr)
         self._boxes = []
         self.index_of = {}
-        for idx, (tlbr, score) in enumerate(zip(det_tlbr, det_score)):
+        n_body = 0
+        for tlbr, score, cid in zip(det_tlbr, det_score, det_class):
             x1, y1, x2, y2 = (int(v) for v in tlbr)
-            key = (x1, y1, x2, y2, float(score))
-            # BoTSORT.update re-wraps detections into fresh Body objects
-            # (demo:1304-1320), so the det index is recovered by exact
-            # coordinate+score lookup; scenarios must not emit duplicate
-            # boxes.
-            assert key not in self.index_of, f"duplicate detection {key}"
-            self.index_of[key] = idx
+            if cid == 0:
+                key = (x1, y1, x2, y2, float(score))
+                # BoTSORT.update re-wraps detections into fresh Body
+                # objects (demo:1304-1320), so the det index is recovered
+                # by exact coordinate+score lookup; scenarios must not
+                # emit duplicate boxes. Index is within the BODY subset
+                # (identical to the full-list index for the body-only
+                # scenarios).
+                assert key not in self.index_of, f"duplicate det {key}"
+                self.index_of[key] = n_body
+                n_body += 1
             self._boxes.append(types.SimpleNamespace(
-                classid=0, score=float(score),
+                classid=int(cid), score=float(score),
                 x1=x1, y1=y1, x2=x2, y2=y2,
                 cx=(x1 + x2) // 2, cy=(y1 + y2) // 2))
 
@@ -171,7 +180,7 @@ class ReferenceTracker:
     """
 
     def __init__(self, body_dim=32, face_dim=16, frame_rate=30,
-                 max_time_lost=None):
+                 max_time_lost=None, image_hw=(8, 8)):
         self.mod = load_reference()
         self.det = _StubDetector()
         self.body = _StubBodyEncoder(body_dim)
@@ -187,7 +196,7 @@ class ReferenceTracker:
             self.tracker.track_buffer = max_time_lost
             self.tracker.buffer_size = max_time_lost
             self.tracker.max_time_lost = max_time_lost
-        self._image = np.zeros((8, 8, 3), np.uint8)
+        self._image = np.zeros((image_hw[0], image_hw[1], 3), np.uint8)
         self.frame = 0
 
     def update(self, det_tlbr, det_score, bfeats, ffeats):
@@ -206,3 +215,55 @@ class ReferenceTracker:
             res[int(t.track_id)] = (
                 np.asarray(t.tlbr, np.float64), det_idx)
         return res
+
+    def update_multiclass(self, body_tlbr, head_tlbr, hand_tlbr,
+                          face_tlbr, score=0.9):
+        """Drive one update() with MULTI-CLASS detections and return the
+        reference-computed box hierarchy (demo:1372-1411): per body,
+        (head_idx, face_idx, hand1_idx, hand2_idx) into the respective
+        class lists, -1 = unattached. All scores are high so every body
+        activates on frame 1 and its attachment is readable off the
+        returned stracks (the face of an unattached head is unreachable
+        from update()'s return value — covered per attached body only).
+        Boxes must be integer-valued and inside image_hw (update() slices
+        face crops from the frame, demo:1434-1441)."""
+        self.frame += 1
+        n_b = len(body_tlbr)
+        tlbr = (list(body_tlbr) + list(head_tlbr) + list(hand_tlbr)
+                + list(face_tlbr))
+        cls = ([0] * len(body_tlbr) + [1] * len(head_tlbr)
+               + [2] * len(hand_tlbr) + [3] * len(face_tlbr))
+        self.det.set_frame(tlbr, [score] * len(tlbr), cls)
+        basis = np.eye(self.body.feature_size, dtype=np.float64)
+        self.body.set_frame([basis[i % len(basis)] for i in range(n_b)])
+        fbasis = np.eye(self.face.feature_size, dtype=np.float64)
+        self.face.set_frame([fbasis[i % len(fbasis)] for i in range(n_b)])
+
+        def index_map(boxes):
+            m = {}
+            for i, bx in enumerate(boxes):
+                key = tuple(int(v) for v in bx)
+                assert key not in m, f"duplicate box {key}"
+                m[key] = i
+            return m
+
+        h_ix = index_map(head_tlbr)
+        n_ix = index_map(hand_tlbr)
+        f_ix = index_map(face_tlbr)
+
+        def lookup(obj, m):
+            if obj is None:
+                return -1
+            return m[(obj.x1, obj.y1, obj.x2, obj.y2)]
+
+        out = self.tracker.update(self._image)
+        res = {}
+        for t in out:
+            b = t.body
+            bi = self.det.index_of[(b.x1, b.y1, b.x2, b.y2, float(b.score))]
+            hd = lookup(b.head, h_ix)
+            fc = lookup(b.head.face, f_ix) if b.head is not None else -1
+            res[bi] = (hd, fc, lookup(b.hand1, n_ix), lookup(b.hand2, n_ix))
+        assert len(res) == n_b, (
+            f"expected every body activated on frame 1: {sorted(res)}")
+        return [res[i] for i in range(n_b)]

@@ -174,6 +174,170 @@ def test_fuzz_reference_parity():
     run_scenario_vs_reference(16, 50, detfn, n_obj=4)
 
 
+def _tie_free_np_greedy(bases, targets, rounds=1):
+    """np_greedy (tests/test_crop_hierarchy.py) that also reports whether
+    any claim had an IoU tie among unused targets. Tied scenes are
+    regenerated: the reference tie-breaks by INTEGER center distance
+    (demo:1784-1788 over demo:102's int centers) while our op uses true
+    float centers — a documented deviation (ops/hierarchy.py:12-16), so
+    tie outcomes are not contractual."""
+    from tests.oracle import boxes_np
+    used = [False] * len(targets)
+    tied = False
+    for base in bases:
+        for _ in range(rounds):
+            best_iou = 0.0
+            n_best = 0
+            for ti, tgt in enumerate(targets):
+                if used[ti]:
+                    continue
+                i = boxes_np.iou_single(base, tgt)
+                if i > best_iou:
+                    best_iou, n_best, best = i, 1, ti
+                elif i > 0.0 and i == best_iou:
+                    n_best += 1
+            if n_best > 1:
+                tied = True
+            if n_best >= 1:
+                used[best] = True
+    return tied
+
+
+def _gen_hierarchy_scene(rng):
+    """Random integer multi-class scene in a 256x256 frame: bodies with
+    plausible sub-boxes (heads near the top, faces inside heads, hands
+    near the sides) plus decoys, so attachments are contested but
+    IoU-positive."""
+    def jitter(lo, hi):
+        return int(rng.integers(lo, hi + 1))
+
+    bodies, heads, faces, hands = [], [], [], []
+    n_b = int(rng.integers(2, 6))
+    for _ in range(n_b):
+        w = jitter(30, 60)
+        h = jitter(60, 110)
+        x1 = jitter(0, 255 - w)
+        y1 = jitter(0, 255 - h)
+        bodies.append((x1, y1, x1 + w, y1 + h))
+        if rng.uniform() < 0.8:                      # its head
+            hw = max(8, w // 2 + jitter(-4, 4))
+            hh = max(8, h // 5 + jitter(-4, 4))
+            hx = min(max(0, x1 + w // 4 + jitter(-8, 8)), 255 - hw)
+            hy = min(max(0, y1 - hh // 2 + jitter(-4, 8)), 255 - hh)
+            heads.append((hx, hy, hx + hw, hy + hh))
+            if rng.uniform() < 0.7:                  # its face
+                fw = max(4, hw - jitter(2, 6))
+                fh = max(4, hh - jitter(2, 6))
+                fx = min(max(0, hx + jitter(0, 4)), 255 - fw)
+                fy = min(max(0, hy + jitter(0, 4)), 255 - fh)
+                faces.append((fx, fy, fx + fw, fy + fh))
+        for side in (0, 1):                          # hands
+            if rng.uniform() < 0.5:
+                nw = jitter(8, 16)
+                nx = min(max(0, (x1 - nw // 2) if side == 0
+                             else (x1 + w - nw // 2)), 255 - nw)
+                ny = min(max(0, y1 + h // 2 + jitter(-6, 6)), 255 - nw)
+                hands.append((nx, ny, nx + nw, ny + nw))
+    for lst, lo, hi in ((heads, 8, 24), (faces, 4, 12), (hands, 8, 16)):
+        if rng.uniform() < 0.4:                      # a decoy far away
+            s = jitter(lo, hi)
+            x1 = jitter(0, 255 - s)
+            y1 = jitter(0, 255 - s)
+            lst.append((x1, y1, x1 + s, y1 + s))
+
+    def dedupe(lst):
+        seen, out = set(), []
+        for b in lst:
+            if b not in seen:
+                seen.add(b)
+                out.append(b)
+        return out
+
+    return (dedupe(bodies), dedupe(heads), dedupe(hands), dedupe(faces))
+
+
+def _ours_attachments(bodies, heads, hands, faces, slots=8):
+    """Our fixed-shape hierarchy (the exact frame_step problem set,
+    pipeline/frame_step.py:342-352) on the same scene."""
+    import jax.numpy as jnp
+
+    from botsort_tpu.ops import hierarchy
+
+    def pad(lst):
+        arr = np.zeros((slots, 4), np.float32)
+        valid = np.zeros((slots,), bool)
+        for i, b in enumerate(lst):
+            arr[i] = b
+            valid[i] = True
+        return jnp.asarray(arr), jnp.asarray(valid)
+
+    b, bv = pad(bodies)
+    h, hv = pad(heads)
+    n, nv = pad(hands)
+    f, fv = pad(faces)
+    results = hierarchy.greedy_assign_batch([
+        (h, hv, f, fv, 1), (b, bv, h, hv, 1), (b, bv, n, nv, 2)])
+    (face_for_head,) = results[0]
+    (head_for_body,) = results[1]
+    hand1, hand2 = results[2]
+    face_for_head = np.asarray(face_for_head)
+    out = []
+    for bi in range(len(bodies)):
+        hd = int(np.asarray(head_for_body)[bi])
+        fc = int(face_for_head[hd]) if hd >= 0 else -1
+        out.append((hd, fc, int(np.asarray(hand1)[bi]),
+                    int(np.asarray(hand2)[bi])))
+    return out
+
+
+def test_hierarchy_attachment_reference_parity():
+    """The reference's OWN executable attachment (BoTSORT.update's
+    face->head / head->body / hands->body greedy walks, demo:1372-1411 +
+    find_most_relevant_object demo:1763-1791) vs ops/hierarchy.py on
+    fuzzed multi-class scenes. IoU-tied scenes are skipped (documented
+    tie-break deviation, ops/hierarchy.py:12-16) — they must stay rare."""
+    rng = np.random.default_rng(20260819)
+    checked = attempts = 0
+    while checked < 12:
+        attempts += 1
+        assert attempts < 60, "IoU ties should be rare in this generator"
+        bodies, heads, hands, faces = _gen_hierarchy_scene(rng)
+        barr = [np.asarray(x, float) for x in bodies]
+        harr = [np.asarray(x, float) for x in heads]
+        narr = [np.asarray(x, float) for x in hands]
+        farr = [np.asarray(x, float) for x in faces]
+        if (_tie_free_np_greedy(harr, farr)
+                or _tie_free_np_greedy(barr, harr)
+                or _tie_free_np_greedy(barr, narr, rounds=2)):
+            continue
+        ref = reference_exec.ReferenceTracker(
+            body_dim=CFG.body_feature_dim, face_dim=CFG.face_feature_dim,
+            image_hw=(256, 256))
+        want = ref.update_multiclass(bodies, heads, hands, faces)
+        got = _ours_attachments(bodies, heads, hands, faces)
+        assert got == want, (
+            f"scene bodies={bodies} heads={heads} hands={hands} "
+            f"faces={faces}: ours {got} vs reference {want}")
+        checked += 1
+
+
+def test_hierarchy_attachment_reference_directed():
+    """Nested face-in-head-on-body plus an unattachable decoy body."""
+    bodies = [(40, 60, 90, 170), (150, 60, 200, 170), (10, 200, 40, 250)]
+    heads = [(50, 50, 80, 80), (160, 50, 190, 80)]
+    faces = [(55, 55, 75, 78), (165, 55, 185, 78)]
+    hands = [(38, 110, 52, 124), (78, 112, 92, 126), (148, 110, 162, 124)]
+    ref = reference_exec.ReferenceTracker(
+        body_dim=CFG.body_feature_dim, face_dim=CFG.face_feature_dim,
+        image_hw=(256, 256))
+    want = ref.update_multiclass(bodies, heads, hands, faces)
+    got = _ours_attachments(bodies, heads, hands, faces)
+    assert got == want
+    assert want[0][0] == 0 and want[0][1] == 0      # body0 <- head0/face0
+    assert want[1][0] == 1 and want[1][1] == 1
+    assert want[2] == (-1, -1, -1, -1)              # decoy: nothing near
+
+
 def test_reference_crashes_on_all_low_frames():
     """Executable documentation of a latent reference bug (and our
     deliberate deviation): a frame whose detections all fall in the
