@@ -67,23 +67,43 @@ class _DWConvShift(nn.Module):
 
 
 class _ConvBNRelu6(nn.Module):
+    """dw_mode selects HOW a depthwise 3x3 executes (same math, same
+    param tree for every mode): 'conv' = XLA grouped conv (default),
+    'shift' = 9 shifted FMAs (_DWConvShift; measured loss, kept for
+    A/B), 'pallas' = fused VMEM stencil kernel (facereid_pallas),
+    'skip' = ELIDE the op (identity / stride-slice) — WRONG numerics,
+    probe-only: times the model's non-depthwise remainder to upper-
+    bound any dw optimization (tools/perf_probe.py --stages facedw).
+    """
+
     features: int
     kernel: int = 3
     stride: int = 1
     groups: int = 1
     act: bool = True
     dtype: Any = jnp.bfloat16
-    dw_shift: bool = False
+    dw_mode: str = "conv"
 
     @nn.compact
     def __call__(self, x):
-        if self.dw_shift and self.groups > 1:
+        if self.dw_mode != "conv" and self.groups > 1:
             assert self.groups == self.features == x.shape[-1] \
-                and self.kernel == 3, "shift lowering is dw-3x3 only"
-            # name='Conv_0' keeps the param path identical to the
-            # nn.Conv branch below.
-            x = _DWConvShift(self.features, self.stride,
-                             dtype=self.dtype, name="Conv_0")(x)
+                and self.kernel == 3, "dw lowerings are dw-3x3 only"
+            if self.dw_mode == "skip":
+                # No param registered; flax.apply ignores the extra
+                # 'Conv_0' entry in a default-built param tree.
+                x = x[:, ::self.stride, ::self.stride, :].astype(self.dtype)
+            elif self.dw_mode == "pallas":
+                from botsort_tpu.models import facereid_pallas
+                x = facereid_pallas.DWConvPallas(
+                    self.features, self.stride,
+                    dtype=self.dtype, name="Conv_0")(x)
+            else:
+                assert self.dw_mode == "shift", self.dw_mode
+                # name='Conv_0' keeps the param path identical to the
+                # nn.Conv branch below.
+                x = _DWConvShift(self.features, self.stride,
+                                 dtype=self.dtype, name="Conv_0")(x)
         else:
             p = (self.kernel - 1) // 2
             x = nn.Conv(self.features, (self.kernel, self.kernel),
@@ -101,7 +121,7 @@ class InvertedResidual(nn.Module):
     stride: int = 1
     expand: int = 6
     dtype: Any = jnp.bfloat16
-    dw_shift: bool = False
+    dw_mode: str = "conv"
 
     @nn.compact
     def __call__(self, x):
@@ -111,7 +131,7 @@ class InvertedResidual(nn.Module):
         if self.expand != 1:
             y = _ConvBNRelu6(hidden, 1, 1, dtype=self.dtype)(y)
         y = _ConvBNRelu6(hidden, 3, self.stride, groups=hidden,
-                         dtype=self.dtype, dw_shift=self.dw_shift)(y)
+                         dtype=self.dtype, dw_mode=self.dw_mode)(y)
         y = _ConvBNRelu6(self.features, 1, 1, act=False, dtype=self.dtype)(y)
         if self.stride == 1 and in_ch == self.features:
             y = y + x
@@ -134,9 +154,8 @@ class FaceReID(nn.Module):
     layout: tuple = MOBILENETV2_LAYOUT
     head_width: int = 1280
     dtype: Any = jnp.bfloat16
-    # Lower the depthwise 3x3s as 9 shifted FMAs instead of grouped
-    # convs (same math, same param tree — _DWConvShift docstring).
-    dw_shift: bool = False
+    # How to lower the depthwise 3x3s — see _ConvBNRelu6.dw_mode.
+    dw_mode: str = "conv"
 
     @nn.compact
     def __call__(self, images):
@@ -148,7 +167,7 @@ class FaceReID(nn.Module):
             for i in range(reps):
                 x = InvertedResidual(ch, stride if i == 0 else 1, expand,
                                      dtype=self.dtype,
-                                     dw_shift=self.dw_shift)(x)
+                                     dw_mode=self.dw_mode)(x)
         x = _ConvBNRelu6(self.head_width, 1, 1, dtype=self.dtype)(x)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         feat = nn.Dense(self.feature_dim, dtype=jnp.float32)(x)

@@ -1,6 +1,6 @@
 """Exactness of the face encoder's shift-sum depthwise lowering.
 
-`FaceReID(dw_shift=True)` computes every depthwise 3x3 as 9 weighted
+`FaceReID(dw_mode="shift")` computes every depthwise 3x3 as 9 weighted
 strided-slice FMAs instead of a grouped conv (models/facereid.py::
 _DWConvShift) — same math, IDENTICAL param tree. XLA's grouped-conv
 lowering is the encoder's VPU bottleneck on v5e (docs/PERF.md); this
@@ -21,9 +21,9 @@ MINI_LAYOUT = ((1, 8, 1, 1), (6, 12, 2, 2), (6, 16, 2, 2))
 
 def test_shift_lowering_matches_grouped_conv():
     conv = FaceReID(feature_dim=16, layout=MINI_LAYOUT, head_width=32,
-                    dtype=jnp.float32, dw_shift=False)
+                    dtype=jnp.float32, dw_mode="conv")
     shift = FaceReID(feature_dim=16, layout=MINI_LAYOUT, head_width=32,
-                     dtype=jnp.float32, dw_shift=True)
+                     dtype=jnp.float32, dw_mode="shift")
     x = jnp.asarray(
         np.random.default_rng(11).uniform(0, 255, (3, 32, 32, 3)),
         jnp.float32)
@@ -45,9 +45,9 @@ def test_shift_lowering_odd_spatial_stride2():
     """SAME padding at odd spatial + stride 2 (the 128->64->32->16->8->4
     chain stays even, but crops from future geometries may not)."""
     conv = FaceReID(feature_dim=8, layout=((6, 8, 1, 2),), head_width=16,
-                    dtype=jnp.float32, dw_shift=False)
+                    dtype=jnp.float32, dw_mode="conv")
     shift = FaceReID(feature_dim=8, layout=((6, 8, 1, 2),), head_width=16,
-                     dtype=jnp.float32, dw_shift=True)
+                     dtype=jnp.float32, dw_mode="shift")
     x = jnp.asarray(
         np.random.default_rng(3).uniform(0, 255, (2, 27, 21, 3)),
         jnp.float32)

@@ -207,8 +207,8 @@ def main():
             kk = max(args.k, int(16384 / nb))  # >=25 ms of work
             x0 = jnp.asarray(rng.uniform(0, 255, (nb, 128, 128, 3)),
                              jnp.float32)
-            for tag, dw in (("conv", False), ("shift", True)):
-                model = FaceReID(dw_shift=dw)
+            for tag, dw in (("conv", "conv"), ("shift", "shift")):
+                model = FaceReID(dw_mode=dw)
 
                 def step(p, c, _):
                     feat = model.apply(p, c)
@@ -217,6 +217,37 @@ def main():
                 sec = time_scan(step, bundle.face_params, x0,
                                 jnp.zeros((kk,)), kk)
                 print(json.dumps({"stage": f"face_b{nb}_{tag}",
+                                  "k": kk,
+                                  "ms": round(sec * 1e3, 3)}))
+
+    if "facedw" in stages:
+        # How much of the face encoder is the depthwise 3x3s AT ALL?
+        # dw_mode='skip' elides them (wrong numerics, same remaining
+        # graph) — (conv - skip) upper-bounds ANY dw lowering win;
+        # dw_mode='pallas' is the fused VMEM stencil candidate.
+        # Geometries as facevar: b16 loaded single-stream, b128 =
+        # 8-stream batched (8 x 16 faces).
+        from botsort_tpu.models.facereid import FaceReID
+
+        for nb in (16, 128):
+            kk = max(args.k, int(16384 / nb))
+            x0 = jnp.asarray(rng.uniform(0, 255, (nb, 128, 128, 3)),
+                             jnp.float32)
+            for tag in ("conv", "skip", "pallas"):
+                model = FaceReID(dw_mode=tag)
+
+                def step(p, c, _):
+                    feat = model.apply(p, c)
+                    return c + jnp.sum(feat) * 1e-12, feat[0, :4]
+
+                try:
+                    sec = time_scan(step, bundle.face_params, x0,
+                                    jnp.zeros((kk,)), kk)
+                except Exception as e:  # pallas mode may not exist yet
+                    print(json.dumps({"stage": f"facedw_b{nb}_{tag}",
+                                      "error": str(e)[:120]}))
+                    continue
+                print(json.dumps({"stage": f"facedw_b{nb}_{tag}",
                                   "k": kk,
                                   "ms": round(sec * 1e3, 3)}))
 
