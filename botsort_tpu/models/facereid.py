@@ -84,8 +84,14 @@ class _ConvBNRelu6(nn.Module):
     dtype: Any = jnp.bfloat16
     dw_mode: str = "conv"
 
+    _DW_MODES = ("conv", "shift", "pallas", "skip")
+
     @nn.compact
     def __call__(self, x):
+        if self.dw_mode not in self._DW_MODES:
+            raise ValueError(
+                f"unknown dw_mode {self.dw_mode!r}; "
+                f"expected one of {self._DW_MODES}")
         if self.dw_mode != "conv" and self.groups > 1:
             assert self.groups == self.features == x.shape[-1] \
                 and self.kernel == 3, "dw lowerings are dw-3x3 only"
@@ -98,8 +104,7 @@ class _ConvBNRelu6(nn.Module):
                 x = facereid_pallas.DWConvPallas(
                     self.features, self.stride,
                     dtype=self.dtype, name="Conv_0")(x)
-            else:
-                assert self.dw_mode == "shift", self.dw_mode
+            else:  # "shift" — the only mode left after validation
                 # name='Conv_0' keeps the param path identical to the
                 # nn.Conv branch below.
                 x = _DWConvShift(self.features, self.stride,

@@ -35,7 +35,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _dw_kernel(xp_ref, k_ref, out_ref, *, bt: int, h: int, w: int):
@@ -72,7 +71,8 @@ def _dw_call(xp, k9, out_dtype_name: str, interpret: bool):
     # Tile several images per grid step when spatial is small, so the
     # per-step VMEM block stays ~0.5-2 MB and grid overhead amortizes.
     bt = 1
-    while bt < n and (2 * bt) * hp * wp * max(c, 128) * 2 <= (1 << 21) \
+    isz = xp.dtype.itemsize
+    while bt < n and (2 * bt) * hp * wp * max(c, 128) * isz <= (1 << 21) \
             and n % (2 * bt) == 0:
         bt *= 2
     out = pl.pallas_call(

@@ -39,6 +39,11 @@ jax.config.update("jax_platforms", "cpu")
 # removed — only the dying session's writes can be truncated, and the
 # warm pre-crash cache is ~30 min of XLA:CPU compiles (VERDICT r3 weak
 # #8: the old wipe-everything made every post-crash run fully cold).
+# Caveat (accepted): mtime granularity can be 1 s, so healthy entries
+# written the same second as the sentinel may also be deleted, and a
+# CONCURRENT pytest session's fresh writes would be too — both are
+# benign over-deletion (the cache regenerates); don't run two suites
+# against the same cache dir if that matters.
 from botsort_tpu.runtime.device import setup_compilation_cache  # noqa: E402
 
 _cache_dir = os.environ.get(
