@@ -53,6 +53,13 @@ def build_parser() -> ArgumentParser:
              "N, N = number of videos) instead of live-jitted models.")
     parser.add_argument("--mini", action="store_true",
                         help="Miniature architectures (smoke tests).")
+    parser.add_argument(
+        "--chips", default="auto",
+        help="Devices to shard streams over (N, or 'auto' = just enough "
+             "chips that each stays inside the measured real-time "
+             "envelope, runtime/envelope.py). Each chip runs the same "
+             "batched per-chip program on its stream slice "
+             "(pipeline/host.py::MeshBatchedBoTSORTPipeline).")
     return parser
 
 
@@ -81,12 +88,39 @@ def main(argv=None):
         max_dets=TrackerConfig().max_dets if not args.mini else 8)
 
     b = len(args.videos)
-    from botsort_tpu.runtime.envelope import stream_envelope_warning
+    import math
 
     import jax
 
+    from botsort_tpu.runtime.envelope import (
+        max_realtime_streams,
+        stream_envelope_warning,
+    )
+
+    backend = jax.default_backend()
+    n_dev = len(jax.devices())
+    # Envelope-aware chip count: spread the streams over just enough
+    # devices that each chip's slice fits its measured real-time
+    # envelope (the reference has no multi-stream surface at all;
+    # SURVEY §2 names stream-sharding as the one parallelism axis).
+    if str(args.chips).lower() == "auto":
+        chips = 1
+        if not args.artifact_dir and stream_envelope_warning(
+                b, backend,
+                body_reid_input_hw=pipe_cfg.body_reid_input_hw):
+            cap = max_realtime_streams(
+                30.0, pipe_cfg.body_reid_input_hw)
+            chips = min(math.ceil(b / cap), n_dev, b)
+    else:
+        chips = max(1, min(int(args.chips), n_dev, b))
+        if args.artifact_dir and chips > 1:
+            print(yellow(
+                "WARNING: --artifact_dir serving is single-chip "
+                "(exported programs are unsharded); ignoring --chips."))
+            chips = 1
+    per_chip = math.ceil(b / chips)
     env_warn = stream_envelope_warning(
-        b, jax.default_backend(),
+        per_chip, backend,
         body_reid_input_hw=pipe_cfg.body_reid_input_hw)
     if env_warn:
         print(yellow(env_warn))
@@ -97,6 +131,14 @@ def main(argv=None):
             args.artifact_dir,
             (bundle.detector_params, bundle.body_params,
              bundle.face_params), b)
+    elif chips > 1:
+        from botsort_tpu.pipeline.host import MeshBatchedBoTSORTPipeline
+
+        print(cyan(f"sharding {b} streams over {chips} chips "
+                   f"({per_chip}/chip, pure DP over the mesh)"))
+        pipeline = MeshBatchedBoTSORTPipeline(
+            bundle, b, n_chips=chips, tracker_cfg=tracker_cfg,
+            nms_cfg=NMSConfig(), pipe_cfg=pipe_cfg)
     else:
         pipeline = BatchedBoTSORTPipeline(bundle, b, tracker_cfg,
                                           NMSConfig(), pipe_cfg)

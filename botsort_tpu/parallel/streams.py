@@ -38,13 +38,15 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), axis_names=("stream",))
 
 
-def _local_step(bundle, stores, frames, tracker_cfg, nms_cfg, pipe_cfg):
+def _local_step(bundle, stores, frames, tracker_cfg, nms_cfg, pipe_cfg,
+                reid_bucket=None, face_bucket=None):
     # The per-device slice runs the natively-batched step (NOT a vmap of
     # frame_step: vmap would turn the cond-gated ReID chunking into a
     # select that always pays for crowds, and batch-1 convs underuse the
     # MXU).
     return frame_step_batched(bundle, stores, frames, tracker_cfg,
-                              nms_cfg, pipe_cfg)
+                              nms_cfg, pipe_cfg, None,
+                              reid_bucket, face_bucket)
 
 
 def make_multi_stream_step(
@@ -55,23 +57,32 @@ def make_multi_stream_step(
 ):
     """Build the sharded multi-stream step.
 
-    Returned fn: (bundle, stores, frames [S, H, W, 3]) ->
-    (stores, FrameResult with leading stream dim). S must be a multiple
-    of the mesh size; streams shard across devices, params replicate.
-    """
+    Returned fn: (bundle, stores, frames [S, H, W, 3],
+    reid_bucket=None, face_bucket=None) -> (stores, FrameResult with
+    leading stream dim). S must be a multiple of the mesh size; each
+    device runs the natively-batched per-chip program on its
+    S/n_devices-stream slice (the serving topology: b streams/chip x N
+    chips); streams shard across devices, params replicate. The static
+    bucket pair is shared by every device (the host dispatcher sizes it
+    by the max live count across ALL streams, so per-device re-runs
+    can't diverge)."""
 
     @functools.partial(
         jax.jit,
-        static_argnames=("tracker_cfg", "nms_cfg", "pipe_cfg"),
+        static_argnames=("tracker_cfg", "nms_cfg", "pipe_cfg",
+                         "reid_bucket", "face_bucket"),
         donate_argnames=("stores",),
     )
-    def step(bundle, stores, frames, tracker_cfg, nms_cfg, pipe_cfg):
+    def step(bundle, stores, frames, tracker_cfg, nms_cfg, pipe_cfg,
+             reid_bucket, face_bucket):
         sharded = jax.shard_map(
             functools.partial(
                 _local_step,
                 tracker_cfg=tracker_cfg,
                 nms_cfg=nms_cfg,
                 pipe_cfg=pipe_cfg,
+                reid_bucket=reid_bucket,
+                face_bucket=face_bucket,
             ),
             mesh=mesh,
             in_specs=(P(), P("stream"), P("stream")),
@@ -80,8 +91,9 @@ def make_multi_stream_step(
         )
         return sharded(bundle, stores, frames)
 
-    def run(bundle, stores, frames):
-        return step(bundle, stores, frames, tracker_cfg, nms_cfg, pipe_cfg)
+    def run(bundle, stores, frames, reid_bucket=None, face_bucket=None):
+        return step(bundle, stores, frames, tracker_cfg, nms_cfg,
+                    pipe_cfg, reid_bucket, face_bucket)
 
     return run
 

@@ -433,6 +433,81 @@ class BatchedBoTSORTPipeline:
         return out
 
 
+class MeshBatchedBoTSORTPipeline(BatchedBoTSORTPipeline):
+    """S streams sharded over a device mesh, b = S/chips per chip.
+
+    The multi-chip serving topology (SURVEY §2 "shard concurrent
+    streams over chips"; BASELINE config 5 at scale): each device runs
+    the SAME natively-batched per-chip program (frame_step_batched) on
+    its stream slice via shard_map — pure data parallelism, zero
+    collectives in the steady state (parallel/streams.py). Per-slice
+    outputs are bitwise-identical to the single-chip batched pipeline
+    (tests/test_multistream.py; __graft_entry__.dryrun_multichip
+    asserts it every driver round). Host-side bucket dispatch is shared
+    across all streams — sized by the global max live count — so every
+    device compiles the same program and overflow re-runs stay in
+    lockstep.
+
+    If n_streams doesn't divide the mesh, the stream axis is padded
+    with copies of stream 0 (their tracker state evolves but their
+    outputs are dropped); callers see exactly n_streams track lists.
+    """
+
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        n_streams: int,
+        mesh=None,
+        n_chips: Optional[int] = None,
+        tracker_cfg: TrackerConfig = DEFAULT_TRACKER,
+        nms_cfg: NMSConfig = DEFAULT_NMS,
+        pipe_cfg: PipelineConfig = DEFAULT_PIPELINE,
+    ):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from botsort_tpu.parallel.streams import (
+            make_mesh,
+            make_multi_stream_step,
+        )
+
+        if mesh is None:
+            mesh = make_mesh(n_chips)
+        chips = int(mesh.devices.size)
+        pad = (-n_streams) % chips
+        super().__init__(bundle, n_streams + pad, tracker_cfg, nms_cfg,
+                         pipe_cfg)
+        self.real_streams = n_streams
+        self.mesh = mesh
+        self.n_chips = chips
+        self.stores = jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(
+                    mesh, P(*(("stream",) + (None,) * (x.ndim - 1))))),
+            self.stores)
+        ms_step = make_multi_stream_step(mesh, tracker_cfg, nms_cfg,
+                                         pipe_cfg)
+
+        def _sharded_step(bundle, stores, frames, _tc, _nc, _pc,
+                          gmc=None, reid_bucket=None, face_bucket=None):
+            assert gmc is None, "GMC is a single-stream (demo) feature"
+            return ms_step(bundle, stores, frames, reid_bucket,
+                           face_bucket)
+
+        self._step = _sharded_step
+
+    def update_async(self, frames_bgr) -> "PendingBatch":
+        frames = list(frames_bgr)
+        if len(frames) != self.real_streams:
+            raise ValueError(
+                f"expected {self.real_streams} frames, got {len(frames)}")
+        frames += [frames[0]] * (self.n_streams - self.real_streams)
+        return super().update_async(frames)
+
+    def _resolve(self, frames, result, backup, bucket, fbucket):
+        out = super()._resolve(frames, result, backup, bucket, fbucket)
+        return out[:self.real_streams]
+
+
 class PendingBatch:
     """Handle for one in-flight BatchedBoTSORTPipeline step."""
 

@@ -119,7 +119,7 @@ def test_multitrack_prints_envelope_warning(tmp_path, monkeypatch, capsys):
 
     monkeypatch.setenv(envelope._ENV_OVERRIDE, "30")  # cap = 1 stream
     rc = multitrack.main(
-        ["-v", *paths, "--mini", "-ep", "cpu", "-dvw",
+        ["-v", *paths, "--mini", "-ep", "cpu", "-dvw", "--chips", "1",
          "--max_frames", "2", "--output_dir", str(tmp_path)])
     assert rc == 0
     out = capsys.readouterr().out

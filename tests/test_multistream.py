@@ -68,3 +68,70 @@ def test_sharded_streams_match_single_stream():
             np.testing.assert_allclose(
                 sharded_out[t].tlbr[s][got_valid],
                 ref.tlbr[ref.valid], rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+@pytest.mark.parametrize("n_streams", [8, 6])
+def test_mesh_pipeline_matches_single_chip_batched(n_streams):
+    """The multi-chip serving topology (b streams/chip x N chips,
+    MeshBatchedBoTSORTPipeline) returns the SAME track lists as the
+    single-chip batched pipeline — including when the stream count
+    doesn't divide the mesh (padded slice, outputs dropped)."""
+    from botsort_tpu.pipeline.host import (
+        BatchedBoTSORTPipeline,
+        MeshBatchedBoTSORTPipeline,
+    )
+
+    bundle = build_bundle(mini=True)
+    single = BatchedBoTSORTPipeline(bundle, n_streams, TRK, NMSC, PIPE)
+    mesh = MeshBatchedBoTSORTPipeline(bundle, n_streams, n_chips=4,
+                                      tracker_cfg=TRK, nms_cfg=NMSC,
+                                      pipe_cfg=PIPE)
+    assert mesh.n_chips == 4
+    assert mesh.n_streams % 4 == 0  # padded to the mesh
+
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        frames = rng.integers(0, 255, (n_streams, 120, 160, 3),
+                              dtype=np.uint8)
+        ref = single.update(frames)
+        got = mesh.update(list(frames))
+        assert len(got) == n_streams
+        for s in range(n_streams):
+            assert [t.track_id for t in got[s]] == \
+                [t.track_id for t in ref[s]]
+            for tg, tr in zip(got[s], ref[s]):
+                np.testing.assert_allclose(tg.tlbr, tr.tlbr,
+                                           rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_multitrack_auto_shards_over_mesh(tmp_path, monkeypatch, capsys):
+    """multitrack --chips auto spreads streams over just enough chips
+    to fit the measured envelope (VERDICT r4 #6)."""
+    import cv2
+
+    from botsort_tpu.cli import multitrack
+    from botsort_tpu.runtime import envelope
+
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"v{i}.mp4"
+        w = cv2.VideoWriter(str(p), cv2.VideoWriter_fourcc(*"mp4v"),
+                            30, (160, 120))
+        for _ in range(3):
+            w.write(np.full((120, 160, 3), 90, np.uint8))
+        w.release()
+        paths.append(str(p))
+
+    monkeypatch.setenv(envelope._ENV_OVERRIDE, "30")  # cap = 1/chip
+    rc = multitrack.main(
+        ["-v", *paths, "--mini", "-ep", "cpu",
+         "--max_frames", "2", "--output_dir", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sharding 2 streams over 2 chips" in out
+    # Sharded to 1 stream/chip, the per-chip envelope is met: no warning.
+    assert "exceed the measured single-chip" not in out
+    for i in range(2):
+        assert (tmp_path / f"v{i}_tracked.mp4").exists()

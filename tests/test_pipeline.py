@@ -121,3 +121,38 @@ def test_lazy_package_exports():
 
     assert botsort_tpu.BoTSORTPipeline.__name__ == "BoTSORTPipeline"
     assert callable(botsort_tpu.build_bundle)
+
+
+def test_slot_exhaustion_warning_fires_once(capsys):
+    """dropped_new > 0 must surface a once-per-stream host warning (the
+    reference has no slot limit; silent drops would be a parity hole —
+    VERDICT r4 #8 'verify the warning fires')."""
+    from botsort_tpu.pipeline.frame_step import FrameResult
+    from botsort_tpu.pipeline.host import assemble_tracks
+    from botsort_tpu.track.cascade import TrackOutputs
+
+    k, n = 8, 4
+    res = FrameResult(
+        det_boxes=np.zeros((4, k, 4), np.float32),
+        det_scores=np.zeros((4, k), np.float32),
+        det_valid=np.zeros((4, k), bool),
+        head_for_body=np.full((k,), -1, np.int32),
+        face_for_head=np.full((k,), -1, np.int32),
+        hand1_for_body=np.full((k,), -1, np.int32),
+        hand2_for_body=np.full((k,), -1, np.int32),
+        nms_clipped=np.zeros((4,), bool),
+        tracks=TrackOutputs(
+            valid=np.zeros((n,), bool),
+            tlbr=np.zeros((n, 4), np.float32),
+            track_id=np.zeros((n,), np.int32),
+            score=np.zeros((n,), np.float32),
+            det_index=np.full((n,), -1, np.int32),
+            dropped_new=np.int32(2)),
+    )
+    warn_state = type("W", (), {})()
+    assemble_tracks(res, TRK, NMSC, PIPE, warn_state=warn_state)
+    err = capsys.readouterr().err
+    assert "2 new track(s) dropped" in err and "max_tracks" in err
+    # Once only per stream.
+    assemble_tracks(res, TRK, NMSC, PIPE, warn_state=warn_state)
+    assert "dropped" not in capsys.readouterr().err

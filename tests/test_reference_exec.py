@@ -174,6 +174,165 @@ def test_fuzz_reference_parity():
     run_scenario_vs_reference(16, 50, detfn, n_obj=4)
 
 
+def test_long_occlusion_reactivation_reference_parity():
+    """Lost -> re_activate at the expiry BOUNDARY (VERDICT r4 #8): an
+    object missing for max_time_lost-1 frames must come back with its
+    old id (the reference expires only when frame_id - end_frame >
+    max_time_lost, demo:1623-1627); one missing two frames longer must
+    get a NEW id. Both sides verified frame-by-frame either way."""
+    gap = CFG.max_time_lost - 1
+    lost_at = 6
+
+    def detfn(sc, fr):
+        dets = [sc.det(0)]
+        if not (lost_at <= fr < lost_at + gap):
+            dets.append(sc.det(1))
+        return dets
+
+    _, oracle = run_scenario_vs_reference(
+        21, lost_at + gap + 8, detfn, n_obj=2, with_tpu=True)
+    assert oracle.count == 2  # re-activated, no new id
+
+    gap2 = CFG.max_time_lost + 2
+
+    def detfn2(sc, fr):
+        dets = [sc.det(0)]
+        if not (lost_at <= fr < lost_at + gap2):
+            dets.append(sc.det(1))
+        return dets
+
+    _, oracle = run_scenario_vs_reference(
+        22, lost_at + gap2 + 8, detfn2, n_obj=2, with_tpu=True)
+    assert oracle.count == 3  # expired -> fresh id
+
+
+def test_slot_pressure_vs_reference_unbounded():
+    """Ours has fixed track slots (SoA store); the reference's lists are
+    unbounded. At max_tracks saturation the kept subset must still match
+    the reference's tracks det-for-det, the excess must surface via
+    dropped_new (not silent id burn), and the id mapping must stay
+    stable across frames (VERDICT r4 #8)."""
+    import jax.numpy as jnp
+
+    from botsort_tpu.config import TrackerConfig
+    from botsort_tpu.track.cascade import tracker_update
+    from botsort_tpu.track.state import empty_store
+
+    small = TrackerConfig(max_tracks=4, max_dets=8, body_feature_dim=32,
+                          face_feature_dim=16, track_buffer=20)
+    n_obj = 6
+    # Scene's feature dims come from CFG (32/16) — same as `small`.
+    scene = Scene(31, n_obj)
+    ref = make_reference()
+    store = empty_store(small)
+    d = small.max_dets
+
+    def run_small_tpu(store, dets):
+        tlbr = np.zeros((d, 4), np.float32)
+        score = np.zeros((d,), np.float32)
+        valid = np.zeros((d,), bool)
+        bf = np.zeros((d, small.body_feature_dim), np.float32)
+        ff = np.zeros((d, small.face_feature_dim), np.float32)
+        for i, (box, s, b, f) in enumerate(dets):
+            tlbr[i], score[i], valid[i], bf[i], ff[i] = box, s, True, b, f
+        store, out = tracker_update(
+            store, jnp.asarray(tlbr), jnp.asarray(score),
+            jnp.asarray(valid), jnp.asarray(bf), jnp.asarray(ff), small)
+        res = {}
+        for k in range(len(out.valid)):
+            if np.asarray(out.valid)[k]:
+                res[int(np.asarray(out.track_id)[k])] = (
+                    np.asarray(out.tlbr)[k],
+                    int(np.asarray(out.det_index)[k]))
+        return store, res, int(np.asarray(out.dropped_new))
+
+    id_map = {}  # our track_id -> reference track_id
+    for fr in range(1, 13):
+        dets = int_dets([scene.det(i) for i in range(n_obj)])
+        ref_out = run_ref_frame(ref, dets)
+        store, got, dropped = run_small_tpu(store, dets)
+        # The reference tracks all 6; we hold max_tracks=4 and report
+        # the 2 overflow candidates dropped — EVERY frame (the two
+        # unmatched high-score dets re-candidate each frame).
+        assert len(ref_out) == n_obj
+        assert len(got) == small.max_tracks
+        assert dropped == n_obj - small.max_tracks
+        ref_by_det = {det: (tid, box)
+                      for tid, (box, det) in ref_out.items()}
+        for our_tid, (box, det) in got.items():
+            ref_tid, ref_box = ref_by_det[det]
+            np.testing.assert_allclose(box, ref_box, atol=0.2)
+            assert id_map.setdefault(our_tid, ref_tid) == ref_tid, (
+                f"frame {fr}: our track {our_tid} drifted between "
+                "reference identities")
+        scene.step()
+    # Our ids are dense (no ids burned on dropped candidates).
+    assert set(id_map) == {1, 2, 3, 4}
+
+
+def test_multi_gmc_reference_parity():
+    """ops/kalman.apply_affine vs the reference's EXECUTED multi_gmc
+    (demo:538-554 — dead code upstream, but the spec for camera-motion
+    compensation; VERDICT r4 #8). Run real tracker state through both:
+    similarity transforms must agree exactly (mean AND covariance);
+    rotations must agree exactly on the MEAN while the scalar-form
+    covariance stays within the documented O(sin^2 theta) envelope
+    (ops/kalman.py::apply_affine docstring)."""
+    import jax.numpy as jnp
+
+    from botsort_tpu.ops.kalman import apply_affine, cov_from_dense, \
+        cov_to_dense
+
+    ref, _ = run_scenario_vs_reference(
+        23, 12, lambda sc, fr: [sc.det(i) for i in range(3)])
+    stracks = (list(ref.tracker.tracked_stracks)
+               + list(ref.tracker.lost_stracks))
+    assert len(stracks) >= 3
+    means = np.asarray([st.mean.copy() for st in stracks])
+    covs = np.asarray([st.covariance.copy() for st in stracks])
+    # Scalar-form conversion is valid iff the reference's covariance is
+    # block-diagonal (proven invariant, tests/test_kalman.py) — check.
+    dense_back = np.asarray(cov_to_dense(cov_from_dense(covs)))
+    np.testing.assert_allclose(dense_back, covs, atol=1e-9)
+
+    for name, h in [
+        ("similarity", np.array([[1.03, 0.0, 5.0],
+                                 [0.0, 1.03, -3.0]])),
+        ("rotation1deg", np.hstack([
+            1.02 * np.array([[np.cos(0.0175), -np.sin(0.0175)],
+                             [np.sin(0.0175), np.cos(0.0175)]]),
+            [[2.0], [1.0]]])),
+    ]:
+        got_mean, got_cov = apply_affine(
+            jnp.asarray(means, jnp.float32),
+            jnp.asarray(cov_from_dense(covs), jnp.float32),
+            jnp.asarray(h, jnp.float32))
+        # Execute the reference's own transform on copies.
+        copies = []
+        for st, m, c in zip(stracks, means, covs):
+            cp = type("S", (), {})()
+            cp.mean, cp.covariance = m.copy(), c.copy()
+            copies.append(cp)
+        ref.mod.STrack.multi_gmc(copies, h)
+        want_mean = np.asarray([cp.mean for cp in copies])
+        want_cov = np.asarray([cp.covariance for cp in copies])
+        np.testing.assert_allclose(
+            np.asarray(got_mean), want_mean, rtol=1e-5, atol=5e-3,
+            err_msg=f"{name}: mean transform diverges from multi_gmc")
+        got_dense = np.asarray(cov_to_dense(got_cov))
+        if name == "similarity":
+            np.testing.assert_allclose(
+                got_dense, want_cov, rtol=1e-4, atol=1e-5,
+                err_msg="similarity covariance must be exact")
+        else:
+            idx = np.arange(8)
+            np.testing.assert_allclose(
+                got_dense[:, idx, idx], want_cov[:, idx, idx],
+                rtol=2e-2, atol=1e-4,
+                err_msg="rotation covariance diag outside the "
+                        "documented O(sin^2) envelope")
+
+
 def _tie_free_np_greedy(bases, targets, rounds=1):
     """np_greedy (tests/test_crop_hierarchy.py) that also reports whether
     any claim had an IoU tie among unused targets. Tied scenes are
