@@ -435,10 +435,15 @@ def main():
     # bucket (50 crops — reid_bucket_set tops at the det width, not the
     # dp=64 slot padding) and the derived face bucket. (Rounds 1-3
     # modeled both encoders at 64 crops, overstating flops/frame and
-    # MFU by ~25%.)
+    # MFU by ~25%.) Counted at the NOMINAL lowering: the production
+    # bundle's dgfa stages run 2x-dense block-diagonal convs whose
+    # padding lanes are NOT useful work — counting the traced dgfa
+    # graph inflated body FLOPs 1.162x (rounds 2-4 mfu carried that;
+    # VERDICT r4 weak #5 / #5 audit). splitsum is FLOP-neutral.
+    body_nominal = bundle.body_encoder.clone(dgfa_stages=())
     flops_frame = (
         model_conv_flops(bundle.detector, jnp.zeros((1, 480, 640, 3)))
-        + model_conv_flops(bundle.body_encoder,
+        + model_conv_flops(body_nominal,
                            jnp.zeros((buckets[-1], 256, 128, 3)))
         + model_conv_flops(bundle.face_encoder,
                            jnp.zeros((max(face_bucket, 1), 128, 128, 3))))

@@ -62,6 +62,18 @@ def model_conv_flops(model, sample):
     return total[0]
 
 
+def _body_nominal(bundle):
+    """Body encoder at the NOMINAL lowering for FLOP counting. The
+    production bundle's dgfa stages trace 2x-dense block-diagonal convs
+    whose padding lanes are NOT useful work; counting the traced dgfa
+    graph inflated body MFU/GFLOP numbers 1.162x (r5 FLOP audit —
+    VERDICT r4 weak #5). Timings still run the production lowering."""
+    enc = bundle.body_encoder
+    if getattr(enc, "dgfa_stages", ()):
+        enc = enc.clone(dgfa_stages=())
+    return enc
+
+
 _TUNNEL_FLOOR_S = None
 
 
@@ -167,7 +179,7 @@ def main():
             sec = time_scan(
                 lambda p, c, f: (c, bundle.body_encoder.apply(p, f)[:, :4]),
                 bundle.body_params, jnp.zeros(()), x, args.k)
-            g = model_conv_flops(bundle.body_encoder,
+            g = model_conv_flops(_body_nominal(bundle),
                                  jnp.zeros((nb, 256, 128, 3)))
             print(json.dumps({"stage": f"body_reid_b{nb}",
                               "ms": round(sec * 1e3, 3),
@@ -364,7 +376,7 @@ def main():
             for _ in range(3)]
         x = jnp.asarray(rng.uniform(-2, 2, (args.k, bsz, 256, 128, 3)),
                         jnp.float32)
-        g = model_conv_flops(bundle.body_encoder,
+        g = model_conv_flops(_body_nominal(bundle),
                              jnp.zeros((bsz, 256, 128, 3)))
 
         def mid_filter(p):
@@ -776,7 +788,7 @@ def main():
                         flat_attention=self.fa)(x)
                 return x
 
-        def seg_time(name, mod, in_shape, out_slice):
+        def seg_time(name, mod, in_shape, out_slice, flops_mod=None):
             params = jax.jit(mod.init)(jax.random.PRNGKey(0),
                                        jnp.zeros(in_shape))
             base = jnp.asarray(rng.uniform(0, 1, in_shape), jnp.float32)
@@ -785,7 +797,9 @@ def main():
                 lambda p, c, f, _m=mod: (
                     c, out_slice(_m.apply(p[0], p[1] + f))),
                 (params, base), jnp.zeros(()), deltas, args.k)
-            g = model_conv_flops(mod, jnp.zeros(in_shape))
+            # flops_mod: count at the nominal lowering — dense_groups
+            # variants trace 2x FLOPs of padding lanes (r5 FLOP audit).
+            g = model_conv_flops(flops_mod or mod, jnp.zeros(in_shape))
             print(json.dumps({
                 "stage": name, "ms": round(sec * 1e3, 3),
                 "gflops": round(g / 1e9, 1),
@@ -795,10 +809,12 @@ def main():
         for dg, fa, tag in ((False, False, "asis"), (True, False, "dg"),
                             (False, True, "fa"), (True, True, "dgfa")):
             seg_time(f"s1_{tag}", StageV(64, 3, 1, dg, fa),
-                     (b, 64, 32, 64), lambda y: y[:, ::7, ::5, 0])
+                     (b, 64, 32, 64), lambda y: y[:, ::7, ::5, 0],
+                     flops_mod=StageV(64, 3, 1, False, False))
         for dg, fa, tag in ((False, False, "asis"), (True, True, "dgfa")):
             seg_time(f"s2_{tag}", StageV(128, 4, 2, dg, fa),
-                     (b, 64, 32, 256), lambda y: y[:, ::7, ::5, 0])
+                     (b, 64, 32, 256), lambda y: y[:, ::7, ::5, 0],
+                     flops_mod=StageV(128, 4, 2, False, False))
 
         # Full encoder, production geometry, with/without dgfa on the
         # two low-MFU stages. bundle.body_params apply unchanged (the
@@ -816,7 +832,7 @@ def main():
                         c, _m.apply(p[0], p[1] + d)[:, :4]),
                     (bundle.body_params, base), jnp.zeros(()), deltas,
                     args.k)
-                g = model_conv_flops(bundle.body_encoder,
+                g = model_conv_flops(_body_nominal(bundle),
                                      jnp.zeros((nb, 256, 128, 3)))
                 print(json.dumps({
                     "stage": f"bodyfull_{tag}_b{nb}",
@@ -845,7 +861,7 @@ def main():
                         c, _m.apply(p[0], p[1] + d)[:, :4]),
                     (bundle.body_params, base), jnp.zeros(()), deltas,
                     args.k)
-                g = model_conv_flops(bundle.body_encoder,
+                g = model_conv_flops(_body_nominal(bundle),
                                      jnp.zeros((nb, 256, 128, 3)))
                 print(json.dumps({
                     "stage": f"body_{'fused' if fused else 'plain'}_b{nb}",
