@@ -141,6 +141,10 @@ def main():
                         help="frame batch for the detseg bisection")
     parser.add_argument("--tlist", default="1,2,4",
                         help="T values for the batchedtemporal stage")
+    parser.add_argument("--ch", type=int, default=256,
+                        help="body-crop height for the bstem2 race")
+    parser.add_argument("--cw", type=int, default=128,
+                        help="body-crop width for the bstem2 race")
     parser.add_argument("--bf16-params", action="store_true",
                         help="pre-cast model params to bfloat16")
     args = parser.parse_args()
@@ -760,6 +764,179 @@ def main():
         bp = -(-b // 4)
         seg_time("bstem_pack4", StemPack4(), (bp, 256, 128, 12),
                  lambda y: y[:, ::7, ::5, 0])
+
+    if "bstem2" in stages:
+        # Round-5 stem race (VERDICT r4 next #1a). The r4 pack4 probe
+        # timed a PRE-packed input, so the pack/unpack relayouts the
+        # adoption would pay in-context were never measured, and int8
+        # was never composed with the dense pack (the scoped-int8 study
+        # excluded the stem because requant churn on small LANE-PADDED
+        # layers lost; dense packing changes the economics: full lanes
+        # AND the 2x s8 MXU rate). Variants, at --b crops x --ch/--cw:
+        #   asis:            production stem (baseline re-measure)
+        #   pack4_full:      transpose-pack -> dense block-diag stem ->
+        #                    pool -> transpose-unpack (TRUE in-context
+        #                    cost if adopted behind the existing crop)
+        #   packafter1:      conv1 plain (3ch input is lane-poor either
+        #                    way) -> pack at HALF resolution (4x smaller
+        #                    relayout) -> dense conv2/conv3 -> pool ->
+        #                    unpack
+        #   pack4_int8:      dense block-diag convs s8xs8->s32, per-
+        #                    channel requant between layers, packed
+        #                    input (sizing the int8 gain alone)
+        #   pack4_int8_full: int8 stem + quantize/pack/unpack from the
+        #                    bf16 normalized input (adoption form)
+        import flax.linen as nn
+
+        from botsort_tpu.models.fastreid import _ConvBN
+
+        ch, cw = args.ch, args.cw
+        b = args.b
+        bp = -(-b // 4)
+
+        def seg_time(name, mod, in_shape, out_slice, gflops=None):
+            params = jax.jit(mod.init)(jax.random.PRNGKey(0),
+                                       jnp.zeros(in_shape))
+            base = jnp.asarray(rng.uniform(0, 1, in_shape), jnp.float32)
+            deltas = jnp.linspace(0.0, 0.01, args.k)
+            sec = time_scan(
+                lambda p, c, f, _m=mod: (
+                    c, out_slice(_m.apply(p[0], p[1] + f))),
+                (params, base), jnp.zeros(()), deltas, args.k)
+            g = (gflops * 1e9 if gflops is not None
+                 else model_conv_flops(mod, jnp.zeros(in_shape)))
+            print(json.dumps({
+                "stage": name, "ms": round(sec * 1e3, 3),
+                "gflops": round(g / 1e9, 1),
+                "mfu": round(g / sec / V5E_PEAK_BF16, 4),
+            }), flush=True)
+
+        def pack4(x):
+            """[B,H,W,C] -> [ceil(B/4),H,W,4C] (pad + batch->channel)."""
+            bb, h, w, c = x.shape
+            gp = -(-bb // 4)
+            x = jnp.pad(x, ((0, gp * 4 - bb), (0, 0), (0, 0), (0, 0)))
+            x = x.reshape(gp, 4, h, w, c).transpose(0, 2, 3, 1, 4)
+            return x.reshape(gp, h, w, 4 * c)
+
+        def unpack4(y, bb):
+            g, h, w, c4 = y.shape
+            y = y.reshape(g, h, w, 4, c4 // 4).transpose(0, 3, 1, 2, 4)
+            return y.reshape(g * 4, h, w, c4 // 4)[:bb]
+
+        class StemAsIs(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = _ConvBN(32, 3, 2)(x)
+                x = _ConvBN(32, 3, 1)(x)
+                x = _ConvBN(64, 3, 1)(x)
+                return nn.max_pool(x, (3, 3), strides=(2, 2),
+                                   padding=((1, 1), (1, 1)))
+
+        class StemPack4Full(nn.Module):
+            """pack -> dense block-diag stem -> pool -> unpack."""
+
+            @nn.compact
+            def __call__(self, x):
+                bb = x.shape[0]
+                x = pack4(x)
+                x = _ConvBN(4 * 32, 3, 2, groups=4, dense_groups=True)(x)
+                x = _ConvBN(4 * 32, 3, 1, groups=4, dense_groups=True)(x)
+                x = _ConvBN(4 * 64, 3, 1, groups=4, dense_groups=True)(x)
+                x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                                padding=((1, 1), (1, 1)))
+                return unpack4(x, bb)
+
+        class StemPackAfter1(nn.Module):
+            """conv1 plain, pack at half resolution, dense conv2/3."""
+
+            @nn.compact
+            def __call__(self, x):
+                bb = x.shape[0]
+                x = _ConvBN(32, 3, 2)(x)
+                x = pack4(x)
+                x = _ConvBN(4 * 32, 3, 1, groups=4, dense_groups=True)(x)
+                x = _ConvBN(4 * 64, 3, 1, groups=4, dense_groups=True)(x)
+                x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                                padding=((1, 1), (1, 1)))
+                return unpack4(x, bb)
+
+        class _Int8ConvBN(nn.Module):
+            """s8 x s8 -> s32 conv + folded-BN requant (+ReLU) emitting
+            s8 for the next layer (emit_s8) or bf16 (tail)."""
+
+            features: int
+            stride: int = 1
+            emit_s8: bool = True
+
+            @nn.compact
+            def __call__(self, x8):
+                cin = x8.shape[-1]
+                k8 = self.param(
+                    "k8", lambda k: jax.random.randint(
+                        k, (3, 3, cin, self.features), -127, 128,
+                        jnp.int8))
+                sc = self.param(
+                    "sc", lambda k: jnp.full((self.features,), 3e-3,
+                                             jnp.float32))
+                y = jax.lax.conv_general_dilated(
+                    x8, k8, window_strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                y = nn.relu(y.astype(jnp.float32) * sc)
+                if self.emit_s8:
+                    return jnp.clip(jnp.round(y * 8.0),
+                                    -127, 127).astype(jnp.int8)
+                return y.astype(jnp.bfloat16)
+
+        class StemPack4Int8(nn.Module):
+            """Packed s8 input -> 3 int8 dense convs -> bf16 pool."""
+
+            @nn.compact
+            def __call__(self, x):
+                x8 = jnp.clip(jnp.round(x * 32.0), -127, 127).astype(
+                    jnp.int8)
+                y = _Int8ConvBN(128, 2)(x8)
+                y = _Int8ConvBN(128, 1)(y)
+                y = _Int8ConvBN(256, 1, emit_s8=False)(y)
+                return nn.max_pool(y, (3, 3), strides=(2, 2),
+                                   padding=((1, 1), (1, 1)))
+
+        class StemPack4Int8Full(nn.Module):
+            """bf16 normalized input -> quantize+pack -> int8 stem ->
+            pool -> unpack (the full adoption form)."""
+
+            @nn.compact
+            def __call__(self, x):
+                bb = x.shape[0]
+                x8 = jnp.clip(jnp.round(x * 32.0), -127, 127).astype(
+                    jnp.int8)
+                x8 = pack4(x8)
+                y = _Int8ConvBN(128, 2)(x8)
+                y = _Int8ConvBN(128, 1)(y)
+                y = _Int8ConvBN(256, 1, emit_s8=False)(y)
+                y = nn.max_pool(y, (3, 3), strides=(2, 2),
+                                padding=((1, 1), (1, 1)))
+                return unpack4(y, bb)
+
+        # Nominal stem FLOPs (what the work is worth, not what the
+        # dense lowering traces).
+        def stem_gflops(bb):
+            hw2 = (ch // 2) * (cw // 2)
+            return 2.0 * bb * hw2 * 9 * (3 * 32 + 32 * 32 + 32 * 64) / 1e9
+
+        sl = lambda y: y[:, ::7, ::5, 0]
+        seg_time("bstem2_asis", StemAsIs(), (b, ch, cw, 3), sl,
+                 gflops=stem_gflops(b))
+        seg_time("bstem2_pack4_full", StemPack4Full(), (b, ch, cw, 3),
+                 sl, gflops=stem_gflops(b))
+        seg_time("bstem2_packafter1", StemPackAfter1(), (b, ch, cw, 3),
+                 sl, gflops=stem_gflops(b))
+        seg_time("bstem2_pack4_int8", StemPack4Int8(),
+                 (bp, ch, cw, 12), sl, gflops=stem_gflops(bp * 4))
+        seg_time("bstem2_pack4_int8_full", StemPack4Int8Full(),
+                 (b, ch, cw, 3), sl, gflops=stem_gflops(b))
 
     if "splatvar" in stages:
         # Exact-math SplAt lowering variants at the LOW-MFU stage
