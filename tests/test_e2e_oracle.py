@@ -15,6 +15,14 @@ hierarchy attachment with center tie-break, face-crop box selection, and
 the full dynamic-list cascade (tests/oracle/botsort_np.py).
 """
 
+# Compile-heavy integration module: full tier. The core tier
+# (pytest -m 'not slow', <15 min cold) covers the same semantics
+# via the cheap unit/oracle tests; run the full tier once per
+# round (docs/TESTING.md).
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

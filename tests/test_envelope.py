@@ -8,6 +8,14 @@ sustain in real time, instead of silently degrading every stream
 multitrack/serve enforce by default").
 """
 
+# Compile-heavy integration module: full tier. The core tier
+# (pytest -m 'not slow', <15 min cold) covers the same semantics
+# via the cheap unit/oracle tests; run the full tier once per
+# round (docs/TESTING.md).
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import math
 
 import pytest

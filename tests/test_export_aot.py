@@ -6,6 +6,14 @@ reload it elsewhere, call it with (params, store, frame) — outputs must
 match the live jitted path exactly (same lowering, same arithmetic).
 """
 
+# Compile-heavy integration module: full tier. The core tier
+# (pytest -m 'not slow', <15 min cold) covers the same semantics
+# via the cheap unit/oracle tests; run the full tier once per
+# round (docs/TESTING.md).
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 

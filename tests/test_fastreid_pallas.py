@@ -8,6 +8,14 @@ breaks these tests. Runs in interpret mode on CPU (stem_stage1
 auto-selects interpret off-TPU).
 """
 
+import pytest
+
+# Compile-heavy integration module: full tier. The core tier
+# (pytest -m 'not slow', <15 min cold) covers the same semantics
+# via the cheap unit/oracle tests; run the full tier once per
+# round (docs/TESTING.md).
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

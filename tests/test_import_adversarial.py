@@ -14,6 +14,14 @@ export artifacts, on real wire-format binaries (tools/onnx_lite writer):
   via import_onnx.main --mini.
 """
 
+import pytest
+
+# Compile-heavy integration module: full tier. The core tier
+# (pytest -m 'not slow', <15 min cold) covers the same semantics
+# via the cheap unit/oracle tests; run the full tier once per
+# round (docs/TESTING.md).
+pytestmark = pytest.mark.slow
+
 import sys
 
 import numpy as np

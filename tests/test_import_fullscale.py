@@ -26,6 +26,14 @@ three release files carry, so first contact with the real binaries
 only has to survive wire-format details, not mapping scale.
 """
 
+# Compile-heavy integration module: full tier. The core tier
+# (pytest -m 'not slow', <15 min cold) covers the same semantics
+# via the cheap unit/oracle tests; run the full tier once per
+# round (docs/TESTING.md).
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 import jax

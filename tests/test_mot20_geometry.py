@@ -6,6 +6,14 @@ is a PipelineConfig field parsed from the same names, and the full
 pipeline runs at the 384x128 crop geometry with its own bucket set.
 """
 
+import pytest
+
+# Compile-heavy integration module: full tier. The core tier
+# (pytest -m 'not slow', <15 min cold) covers the same semantics
+# via the cheap unit/oracle tests; run the full tier once per
+# round (docs/TESTING.md).
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 

@@ -1,6 +1,14 @@
 """Batched multi-video surface: BatchedBoTSORTPipeline equivalence with
 single-stream pipelines, and the cli/multitrack.py smoke path."""
 
+# Compile-heavy integration module: full tier. The core tier
+# (pytest -m 'not slow', <15 min cold) covers the same semantics
+# via the cheap unit/oracle tests; run the full tier once per
+# round (docs/TESTING.md).
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 
 import cv2

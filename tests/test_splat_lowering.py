@@ -17,6 +17,14 @@ mot17_sbs_S50 backbone (demo_bottrack_onnx_tflite.py:1032-1142
 consumes it) executes on TPU, not its math.
 """
 
+# Compile-heavy integration module: full tier. The core tier
+# (pytest -m 'not slow', <15 min cold) covers the same semantics
+# via the cheap unit/oracle tests; run the full tier once per
+# round (docs/TESTING.md).
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,14 @@
 """frame_step_temporal (T chained frames, one dispatch) vs sequential
 frame_step calls — outputs must be identical."""
 
+import pytest
+
+# Compile-heavy integration module: full tier. The core tier
+# (pytest -m 'not slow', <15 min cold) covers the same semantics
+# via the cheap unit/oracle tests; run the full tier once per
+# round (docs/TESTING.md).
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp
