@@ -1719,6 +1719,99 @@ def main():
                           "ms": round(sec * 1e3, 3),
                           "fps": round(1 / sec, 1)}))
 
+    if "loadedtail" in stages:
+        # Split the loaded config's ~1.4 ms cascade+assembly tail
+        # (loadedbisect: full - face level): how much is the Pallas
+        # cascade SOLVER (sequential Dijkstra pops; no cross-stream
+        # lockstep exists at B=1) vs the cost-matrix build vs the
+        # vectorized KF/EMA/lifecycle/dedup around it. Feasible
+        # anchored scene (pass-1 has real matches; the store warms up
+        # over the scan) at the loaded geometry N=64 slots x D=50 dets.
+        from botsort_tpu.ops.assignment import solve_cascade_masked
+        from botsort_tpu.ops.boxes import iou_distance
+        from botsort_tpu.track.cascade import tracker_update
+        from botsort_tpu.track.state import empty_store
+
+        cfg = TrackerConfig(
+            det_score_threshold=0.2, track_high_thresh=0.15,
+            track_low_thresh=0.05, new_track_thresh=0.2)
+        d, n, kk = cfg.max_dets, cfg.max_tracks, args.k
+        anchors = rng.uniform(50, 900, (d, 2)).astype(np.float32)
+        jit_xy = rng.normal(0, 6, (kk, d, 2)).astype(np.float32)
+        wh = rng.uniform(40, 120, (d, 2)).astype(np.float32)
+        tl = anchors[None] + jit_xy
+        tlbr = jnp.asarray(np.concatenate([tl, tl + wh[None]], -1))
+        scores = jnp.asarray(rng.uniform(0.2, 1, (kk, d)), jnp.float32)
+        valid = jnp.ones((kk, d), bool)
+        bf = rng.normal(size=(d, 2048)).astype(np.float32)
+        bf /= np.linalg.norm(bf, axis=-1, keepdims=True)
+        bfk = jnp.asarray(np.broadcast_to(bf, (kk, d, 2048)).copy())
+        ff = rng.normal(size=(d, 256)).astype(np.float32)
+        ff /= np.linalg.norm(ff, axis=-1, keepdims=True)
+        ffk = jnp.asarray(np.broadcast_to(ff, (kk, d, 256)).copy())
+
+        def step_full(p, s, xs):
+            t, sc, v, b_, f_ = xs
+            s2, tr = tracker_update(s, t, sc, v, b_, f_, cfg)
+            return s2, tr.valid
+
+        sec = time_scan(step_full, jnp.zeros(()), empty_store(cfg),
+                        (tlbr, scores, valid, bfk, ffk), kk)
+        print(json.dumps({"stage": f"ltail_full_N{n}_D{d}",
+                          "ms": round(sec * 1e3, 3)}), flush=True)
+
+        # Solver + costs: fixed realistic masks, d live tracked rows.
+        pool_m = jnp.zeros((n,), bool).at[:d].set(True)
+        tracked_m = pool_m
+        unconf_m = jnp.zeros((n,), bool)
+        track_pad = jnp.zeros((n, 4), jnp.float32).at[:d].set(
+            jnp.asarray(np.concatenate([anchors, anchors + wh], -1)))
+        bf_track = jnp.zeros((n, 2048), jnp.float32
+                             ).at[:d].set(jnp.asarray(bf))
+        ff_track = jnp.zeros((n, 256), jnp.float32
+                             ).at[:d].set(jnp.asarray(ff))
+
+        def costs(t_, sc_, b2, f2):
+            iou_d = iou_distance(track_pad, t_)
+            body_sim = bf_track @ b2.T
+            face_sim = ff_track @ f2.T
+            face_sim = jnp.where(face_sim > 0.99999, 0.0, face_sim)
+            body_d = 1.0 - body_sim
+            face_d = 1.0 - face_sim
+            gate = jnp.minimum(body_d, face_d) > cfg.appearance_thresh
+            d1 = jnp.minimum(iou_d, jnp.where(gate, 1.0, body_d))
+            emb3 = 1.0 - jnp.maximum(0.0, body_sim)
+            emb3 = jnp.where(emb3 > cfg.appearance_thresh, 1.0, emb3)
+            emb3 = jnp.where(iou_d > cfg.proximity_thresh, 1.0, emb3)
+            d3 = jnp.minimum(iou_d, emb3)
+            high = sc_ > cfg.track_high_thresh
+            low = (sc_ >= cfg.track_low_thresh) & ~high
+            return d1, iou_d, d3, high, low
+
+        def step_solver(p, s, xs):
+            t, sc, v, b_, f_ = xs
+            d1, iou_d, d3, high, low = costs(t, sc, b_, f_)
+            r1, r2, r3 = solve_cascade_masked(
+                d1, iou_d, d3, pool_m, tracked_m, unconf_m, high, low,
+                (cfg.match_thresh, cfg.second_match_thresh,
+                 cfg.unconfirmed_match_thresh))
+            return s, r1.col_for_row + r2.col_for_row + r3.col_for_row
+
+        sec = time_scan(step_solver, jnp.zeros(()), jnp.zeros(()),
+                        (tlbr, scores, valid, bfk, ffk), kk)
+        print(json.dumps({"stage": f"ltail_solvercosts_N{n}_D{d}",
+                          "ms": round(sec * 1e3, 3)}), flush=True)
+
+        def step_costs(p, s, xs):
+            t, sc, v, b_, f_ = xs
+            d1, iou_d, d3, high, low = costs(t, sc, b_, f_)
+            return s, d1[::7, ::5] + d3[::7, ::5]
+
+        sec = time_scan(step_costs, jnp.zeros(()), jnp.zeros(()),
+                        (tlbr, scores, valid, bfk, ffk), kk)
+        print(json.dumps({"stage": f"ltail_costs_N{n}_D{d}",
+                          "ms": round(sec * 1e3, 3)}), flush=True)
+
     if "cascadewidth" in stages:
         # tracker_update cost vs det-slot width and live load: the
         # empty-scene bench (width 50, zero dets) is SLOWER than
