@@ -143,6 +143,10 @@ def main():
                         help="T values for the batchedtemporal stage")
     parser.add_argument("--ch", type=int, default=256,
                         help="body-crop height for the bstem2 race")
+    parser.add_argument("--reidhw", default=None,
+                        help="body-ReID input HxW override for the "
+                        "batchedbisect stage, e.g. 384x128 (BASELINE "
+                        "config 5's mot20 geometry)")
     parser.add_argument("--cw", type=int, default=128,
                         help="body-crop width for the bstem2 race")
     parser.add_argument("--bf16-params", action="store_true",
@@ -2227,6 +2231,11 @@ def main():
                           track_low_thresh=0.02, new_track_thresh=0.2),
             max_dets=16)
         nms_cfg, pipe_cfg = NMSConfig(), PipelineConfig()
+        tag = ""
+        if args.reidhw:
+            rh, rw = (int(v) for v in args.reidhw.split("x"))
+            pipe_cfg = _dc.replace(pipe_cfg, body_reid_input_hw=(rh, rw))
+            tag = f"_{rh}x{rw}"
         B = 8
         kk = min(args.k, 8)
         # Ship 4 distinct 1080p frames through the tunnel, tile to
@@ -2249,7 +2258,7 @@ def main():
                       "faceenc"):
             sec = time_scan(build(level), bundle, jnp.zeros(()),
                             frames_kb, kk)
-            print(json.dumps({"stage": f"batched8_{level}",
+            print(json.dumps({"stage": f"batched8_{level}{tag}",
                               "ms": round(sec * 1e3, 3)}), flush=True)
 
         one = empty_store(cfg)
@@ -2262,7 +2271,7 @@ def main():
             return s2, out.tracks.valid
 
         sec = time_scan(step_full, bundle, stores, frames_kb, kk)
-        print(json.dumps({"stage": "batched8_full",
+        print(json.dumps({"stage": f"batched8_full{tag}",
                           "ms": round(sec * 1e3, 3)}), flush=True)
 
     if "emptyiso" in stages:

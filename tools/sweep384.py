@@ -32,9 +32,11 @@ def main():
     nms_cfg = NMSConfig()
     pipe_384 = dataclasses.replace(
         PipelineConfig(), body_reid_input_hw=(384, 128))
+    # Matches bench.py's moderate_cfg exactly (loaded_cfg + max_dets=16)
+    # so the winner transfers to the driver's measurement verbatim.
     moderate_cfg = dataclasses.replace(
         TrackerConfig(det_score_threshold=0.2, track_high_thresh=0.15,
-                      track_low_thresh=0.02, new_track_thresh=0.2),
+                      track_low_thresh=0.05, new_track_thresh=0.2),
         max_dets=16)
     bundle = build_bundle(weights_dir="weights", fake_params=True)
     rng = np.random.default_rng(7)
@@ -50,7 +52,7 @@ def main():
             bundle.body_params,
             bundle.face_encoder, bundle.face_params)
 
-    def run(bb, b, k=6, label=""):
+    def run(bb, b, k=16, label=""):
         st = run_batched(bb, moderate_cfg, nms_cfg, pipe_384, frames,
                          empty_store, b=b, k=k, floor_s=floor,
                          reid_bucket=16, return_stats=True)
@@ -68,6 +70,12 @@ def main():
     if mode in ("b", "both"):
         for b in (6, 10):
             run(bundle, b=b, label="bsweep")
+    if mode == "extra":
+        # Follow-up after the first pass found dgfa(0,) > (0, 1) at 384:
+        # no-dgfa control, and the b re-tune at the winning stage set.
+        run(with_dgfa(()), b=8, label="dgfa()")
+        for b in (6, 8, 10):
+            run(with_dgfa((0,)), b=b, label="bsweep_dgfa(0,)")
 
 
 if __name__ == "__main__":
