@@ -174,11 +174,26 @@ def _get_jv_call(max_iters: int, interpret: bool):
 
 
 def _shift_lanes(x, s: int):
-    """y[b, l] = x[b, l - s] (zeros shifted in); s static."""
+    """y[b, l] = x[b, l - s] (zeros shifted in); s static.
+
+    Lowered as a permutation matmul rather than pad+concat: Mosaic's
+    tpu.concatenate rejects inputs whose vector layout carries a
+    nonzero offset ("result/input offset mismatch on non-concat
+    dimension"), which is exactly what keepdims-reduction outputs
+    (win_col etc. in the round-5 column reduction) arrive with. The
+    matmul form is layout-agnostic and exact for the 0/1 int masks
+    this helper shifts (values fit f32); one (B,sp)x(sp,sp) dot per
+    call, negligible at sp<=256.
+    """
     if s == 0:
         return x
-    z = jnp.zeros((x.shape[0], s), x.dtype)
-    return jnp.concatenate([z, x], axis=1)[:, :x.shape[1]]
+    sp = x.shape[1]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+    perm = (row_i + s == lane_i).astype(jnp.float32)
+    y = jnp.dot(x.astype(jnp.float32), perm,
+                preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
 
 
 def _cascade_kernel(cost_ref, pool_ref, tracked_ref, unconf_ref,
@@ -267,6 +282,121 @@ def _cascade_kernel(cost_ref, pool_ref, tracked_ref, unconf_ref,
         u_ref[:, :] = jnp.zeros((1, sp), jnp.float32)
         v_ref[:, :] = jnp.zeros((1, sp), jnp.float32)
 
+        # --- LAPJV-style column reduction (round 5). Pre-assign each
+        # live column to its min-cost live row (or to its designated
+        # dummy row when the half-limit opt-out is at least as cheap)
+        # and start v at the column minima — the same initialization
+        # real lap.lapjv performs before its augmentation phase. With
+        # u = 0 and v[j] = the column's global row-minimum the duals
+        # are feasible and every pre-assigned pair has reduced cost 0
+        # (complementary slackness), so the Dijkstra phase below stays
+        # exact: it simply augments only the rows the reduction left
+        # unassigned. Tracking cost matrices are near-diagonal (each
+        # track close to its detection), so this resolves almost every
+        # row and collapses the sequential pop count — the
+        # single-stream solver was ~1.0 of the 10.35 ms loaded frame
+        # (tools/perf_probe.py --stages loadedtail; docs/PERF.md).
+        cost2d = cost_ref[pass_i, :, :]                     # (sp, sp)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+        diag = row_iota == lane_iota
+        # rv lives on lanes; transpose it to sublanes via the diagonal.
+        rv_rows = jnp.sum(
+            jnp.where(diag, jnp.broadcast_to(rv, (sp, sp)), 0),
+            axis=1, keepdims=True)                          # (sp, 1)
+        live_cell = (rv_rows == 1) & (cv == 1)
+        cost_live = jnp.where(live_cell, cost2d, _INF)
+        colmin = jnp.min(cost_live, axis=0, keepdims=True)  # (1, sp)
+        # Lowest live row achieving the minimum (deterministic ties).
+        rowarg = jnp.min(
+            jnp.where(cost_live == colmin, row_iota, sp),
+            axis=0, keepdims=True)                          # (1, sp)
+        claim_live = (cv == 1) & (colmin < half)
+        claim_dummy = (cv == 1) & jnp.logical_not(claim_live)
+        # One column per row: each claimed row keeps its lowest column.
+        claimed = (row_iota == rowarg) & jnp.broadcast_to(
+            claim_live, (sp, sp))
+        firstj = jnp.min(jnp.where(claimed, lane_iota, sp),
+                         axis=1, keepdims=True)             # (sp, 1)
+        win2d = claimed & (lane_iota == firstj)
+        win_col = jnp.max(win2d.astype(jnp.int32), axis=0,
+                          keepdims=True)                    # (1, sp)
+        p_out[pass_i, :, :] = jnp.where(
+            win_col == 1, rowarg,
+            jnp.where(claim_dummy, n_rows + idx, p_init))
+        win_row = jnp.max(win2d.astype(jnp.int32), axis=1,
+                          keepdims=True)                    # (sp, 1)
+
+        def to_lanes(col_vec):
+            return jnp.sum(
+                jnp.where(diag, jnp.broadcast_to(col_vec, (sp, sp)), 0),
+                axis=0, keepdims=True)
+
+        q_new = jnp.where(to_lanes(win_row) == 1, to_lanes(firstj),
+                          q_init)
+        # Dummy row n_rows+j claimed its own column j.
+        q_new = jnp.where(
+            _shift_lanes(claim_dummy.astype(jnp.int32), n_rows) == 1,
+            idx - n_rows, q_new)
+        v_ref[:, :] = jnp.where(cv == 1, jnp.minimum(colmin, half), 0.0)
+
+        # Rank-pair the leftover live dummy rows (whose column a live
+        # row won) with free dummy columns (live real rows' escape
+        # slots): cost 0, v 0 — reduced cost 0, so complementary
+        # slackness holds and augmenting paths can still reroute these
+        # pairs later. #free escapes >= #leftover dummies (each win
+        # consumed one live real row), so every dummy row resolves
+        # here and the augmentation loop below runs ONLY for live real
+        # rows that lost a reduction conflict. Ranks come from an
+        # inclusive-cumsum as a triangular matmul (no cumsum primitive
+        # in Mosaic).
+        tri = (row_iota <= lane_iota).astype(jnp.float32)   # (sp, sp)
+        rows_a = _shift_lanes(win_col, n_rows)          # dummy-row lanes
+        cols_b = rv_shift                                # free escapes
+        rank_a = jnp.dot(rows_a.astype(jnp.float32), tri,
+                         preferred_element_type=jnp.float32
+                         ).astype(jnp.int32)                # (1, sp)
+        rank_b = jnp.dot(cols_b.astype(jnp.float32), tri,
+                         preferred_element_type=jnp.float32
+                         ).astype(jnp.int32)
+
+        def to_rows(lane_vec):
+            return jnp.sum(
+                jnp.where(diag, jnp.broadcast_to(lane_vec, (sp, sp)), 0),
+                axis=1, keepdims=True)
+
+        pair_m = ((to_rows(rank_a) == rank_b)
+                  & (to_rows(rows_a) == 1)
+                  & jnp.broadcast_to(cols_b == 1, (sp, sp)))
+        q_pair = to_lanes(jnp.min(jnp.where(pair_m, lane_iota, sp),
+                                  axis=1, keepdims=True))   # (1, sp)
+        p_pair = jnp.min(jnp.where(pair_m, row_iota, sp),
+                         axis=0, keepdims=True)             # (1, sp)
+        q_new = jnp.where((rows_a == 1) & (q_pair < sp), q_pair, q_new)
+        q_out[pass_i, :, :] = q_new
+        p_red = p_out[pass_i, :, :]
+        p_out[pass_i, :, :] = jnp.where(
+            (cols_b == 1) & (p_pair < sp), p_pair, p_red)
+        plive_out[pass_i, :, :] = win_col
+
+        # Compacted augmentation order: order[k] = lane of the k-th
+        # ACTIVE row (live, still unassigned) — the outer loop below
+        # runs n_active iterations instead of s_total (the fori over
+        # all 114 rows cost ~as much as the augmentations themselves;
+        # docs/PERF.md round 5).
+        q_vec = q_out[pass_i, :, :]
+        active = jnp.where(live_vec == 1,
+                           jnp.where(q_vec < 0, 1, 0), 0)   # (1, sp)
+        rank_act = jnp.dot(active.astype(jnp.float32), tri,
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.int32)
+        order_m = ((row_iota == jnp.broadcast_to(rank_act - 1, (sp, sp)))
+                   & jnp.broadcast_to(active == 1, (sp, sp)))
+        order_lane = to_lanes(jnp.min(
+            jnp.where(order_m, lane_iota, sp),
+            axis=1, keepdims=True))                         # (1, sp)
+        n_active = scalar_at(rank_act, sp - 1)
+
         def ext_row(r):
             """Extended-matrix row r, built on the fly (1, sp)."""
             r_clamped = jnp.minimum(r, n_rows - 1)
@@ -288,8 +418,11 @@ def _cascade_kernel(cost_ref, pool_ref, tracked_ref, unconf_ref,
             in_s = jnp.where(r < n_rows, real, dummy_row)
             return jnp.where(r < s_total, in_s, pad_row)
 
-        def outer(i0, carry):
-            rv_i = scalar_at(live_vec, i0)
+        def outer(k, carry):
+            # k-th ACTIVE row (live and left unassigned by the
+            # reduction; rows never lose their column once matched, so
+            # reduction/pairing assignments are final row-side).
+            i0 = scalar_at(order_lane, k)
             minv_ref[:, :] = jnp.full((1, sp), _INF, jnp.float32)
             way_ref[:, :] = jnp.full((1, sp), sp, jnp.int32)
             used_ref[:, :] = jnp.zeros((1, sp), jnp.int32)
@@ -324,11 +457,9 @@ def _cascade_kernel(cost_ref, pool_ref, tracked_ref, unconf_ref,
                 cur_row = jnp.where(nxt_row < 0, cur_row, nxt_row)
                 return (cur_row, j1, done, it + 1)
 
-            # Parked rows skip both loops via their initial state
-            # (done=1 / j_end=sp), so no scalar conditional is needed.
             _, j_end, _, _ = jax.lax.while_loop(
                 pop_cond, pop_body,
-                (i0, jnp.int32(sp), 1 - rv_i, jnp.int32(0)))
+                (i0, jnp.int32(sp), jnp.int32(0), jnp.int32(0)))
 
             def unwind_cond(ust):
                 return jnp.logical_and(ust[0] < sp, ust[1] < max_iters)
@@ -350,11 +481,10 @@ def _cascade_kernel(cost_ref, pool_ref, tracked_ref, unconf_ref,
                 return j1, it + 1
 
             jax.lax.while_loop(
-                unwind_cond, unwind_body,
-                (jnp.where(rv_i == 1, j_end, sp), jnp.int32(0)))
+                unwind_cond, unwind_body, (j_end, jnp.int32(0)))
             return carry
 
-        jax.lax.fori_loop(0, s_total, outer, jnp.int32(0))
+        jax.lax.fori_loop(0, n_active, outer, jnp.int32(0))
 
 
 def _cascade_kernel_ls(c0_ref, c1_ref, c2_ref, pool_ref, tracked_ref,
@@ -362,7 +492,7 @@ def _cascade_kernel_ls(c0_ref, c1_ref, c2_ref, pool_ref, tracked_ref,
                        p_out, q_out, plive_out,
                        minv_ref, way_ref, used_ref, onpath_ref, u_ref,
                        v_ref, currow_ref, jfrom_ref, done_ref, jend_ref,
-                       rowbuf_ref,
+                       rowbuf_ref, order_ref,
                        *, n_streams: int, n_rows: int, n_cols: int,
                        limits, max_iters: int):
     """LOCKSTEP multi-stream cascade: all B streams advance one Dijkstra
@@ -446,14 +576,112 @@ def _cascade_kernel_ls(c0_ref, c1_ref, c2_ref, pool_ref, tracked_ref,
         u_ref[:, :] = jnp.zeros((n_streams, sp), jnp.float32)
         v_ref[:, :] = jnp.zeros((n_streams, sp), jnp.float32)
 
-        def outer(r0, carry):
-            rv_i = at_lanes(live_vec, jnp.zeros((n_streams, sp),
-                                                jnp.int32) + r0)  # (B,1)
+        # --- LAPJV-style column reduction, per stream — identical math
+        # and tie-breaks to the grid kernel's (see _cascade_kernel; the
+        # two are asserted matching in tests/test_cascade_solve.py).
+        row_iota2 = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
+        lane_iota2 = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+        diag2 = row_iota2 == lane_iota2
+
+        def to_lanes(col_vec):
+            return jnp.sum(
+                jnp.where(diag2, jnp.broadcast_to(col_vec, (sp, sp)), 0),
+                axis=0, keepdims=True)
+
+        tri2 = (row_iota2 <= lane_iota2).astype(jnp.float32)
+
+        def to_rows(lane_vec):
+            return jnp.sum(
+                jnp.where(diag2, jnp.broadcast_to(lane_vec, (sp, sp)), 0),
+                axis=1, keepdims=True)
+
+        max_act = jnp.int32(0)
+        for b in range(n_streams):
+            cost2d = cost_ref[b, :, :]                      # (sp, sp)
+            rv_b, cv_b = rv[b:b + 1, :], cv[b:b + 1, :]
+            rv_rows = to_rows(rv_b)
+            live_cell = (rv_rows == 1) & (cv_b == 1)
+            cost_live = jnp.where(live_cell, cost2d, _INF)
+            colmin = jnp.min(cost_live, axis=0, keepdims=True)
+            rowarg = jnp.min(
+                jnp.where(cost_live == colmin, row_iota2, sp),
+                axis=0, keepdims=True)
+            claim_live = (cv_b == 1) & (colmin < half)
+            claim_dummy = (cv_b == 1) & jnp.logical_not(claim_live)
+            claimed = (row_iota2 == rowarg) & jnp.broadcast_to(
+                claim_live, (sp, sp))
+            firstj = jnp.min(jnp.where(claimed, lane_iota2, sp),
+                             axis=1, keepdims=True)
+            win2d = claimed & (lane_iota2 == firstj)
+            win_col = jnp.max(win2d.astype(jnp.int32), axis=0,
+                              keepdims=True)
+            win_row = jnp.max(win2d.astype(jnp.int32), axis=1,
+                              keepdims=True)
+            q_new = jnp.where(to_lanes(win_row) == 1, to_lanes(firstj),
+                              q_init[b:b + 1, :])
+            q_new = jnp.where(
+                _shift_lanes(claim_dummy.astype(jnp.int32), n_rows) == 1,
+                idx - n_rows, q_new)
+            v_ref[b:b + 1, :] = jnp.where(
+                cv_b == 1, jnp.minimum(colmin, half), 0.0)
+
+            # Rank-pair leftover live dummy rows with free escape
+            # columns (see _cascade_kernel for the invariants).
+            rows_a = _shift_lanes(win_col, n_rows)
+            cols_b = rv_shift[b:b + 1, :]
+            rank_a = jnp.dot(rows_a.astype(jnp.float32), tri2,
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.int32)
+            rank_b = jnp.dot(cols_b.astype(jnp.float32), tri2,
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.int32)
+            pair_m = ((to_rows(rank_a) == rank_b)
+                      & (to_rows(rows_a) == 1)
+                      & jnp.broadcast_to(cols_b == 1, (sp, sp)))
+            q_pair = to_lanes(jnp.min(jnp.where(pair_m, lane_iota2, sp),
+                                      axis=1, keepdims=True))
+            p_pair = jnp.min(jnp.where(pair_m, row_iota2, sp),
+                             axis=0, keepdims=True)
+            q_new = jnp.where((rows_a == 1) & (q_pair < sp), q_pair,
+                              q_new)
+            q_out[pass_i, b:b + 1, :] = q_new
+            p_red = jnp.where(
+                win_col == 1, rowarg,
+                jnp.where(claim_dummy, n_rows + idx, p_init[b:b + 1, :]))
+            p_out[pass_i, b:b + 1, :] = jnp.where(
+                (cols_b == 1) & (p_pair < sp), p_pair, p_red)
+            plive_out[pass_i, b:b + 1, :] = win_col
+
+            # Compacted per-stream augmentation order (sentinel sp).
+            live_b = live_vec[b:b + 1, :]
+            active = jnp.where(live_b == 1,
+                               jnp.where(q_new < 0, 1, 0), 0)
+            rank_act = jnp.dot(active.astype(jnp.float32), tri2,
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.int32)
+            order_m = ((row_iota2 == jnp.broadcast_to(rank_act - 1,
+                                                      (sp, sp)))
+                       & jnp.broadcast_to(active == 1, (sp, sp)))
+            order_ref[b:b + 1, :] = to_lanes(jnp.min(
+                jnp.where(order_m, lane_iota2, sp),
+                axis=1, keepdims=True))
+            n_act_b = jnp.sum(jnp.where(idx == sp - 1, rank_act, 0)
+                              ).astype(jnp.int32)
+            max_act = jnp.maximum(max_act, n_act_b)
+
+        def outer(k, carry):
+            # Each stream augments ITS k-th active row (streams are
+            # independent problems, so per-stream augmentation order —
+            # still increasing lane order — is all that matters for
+            # grid-kernel equality). Sentinel sp = stream exhausted.
+            k_vec = jnp.zeros((n_streams, sp), jnp.int32) + k
+            cur0 = at_lanes(order_ref[:, :], k_vec)          # (B,1)
+            rv_i = jnp.where(cur0 < sp, 1, 0).astype(jnp.int32)
             minv_ref[:, :] = jnp.full((n_streams, sp), _INF, jnp.float32)
             way_ref[:, :] = jnp.full((n_streams, sp), sp, jnp.int32)
             used_ref[:, :] = jnp.zeros((n_streams, sp), jnp.int32)
             onpath_ref[:, :] = jnp.zeros((n_streams, sp), jnp.int32)
-            currow_ref[:, :] = jnp.zeros((n_streams, sp), jnp.int32) + r0
+            currow_ref[:, :] = jnp.broadcast_to(cur0, (n_streams, sp))
             jfrom_ref[:, :] = jnp.full((n_streams, sp), sp, jnp.int32)
             done_ref[:, :] = jnp.broadcast_to(1 - rv_i, (n_streams, sp))
             jend_ref[:, :] = jnp.full((n_streams, sp), sp, jnp.int32)
@@ -554,7 +782,7 @@ def _cascade_kernel_ls(c0_ref, c1_ref, c2_ref, pool_ref, tracked_ref,
                 actv = jnp.broadcast_to(act, (n_streams, sp))
                 j1 = at_lanes(way_ref[:, :], j0)                 # (B,1)
                 p_at = at_lanes(p_out[pass_i, :, :], j1)         # (B,1)
-                rowv = jnp.where(j1 >= sp, r0, p_at)             # (B,1)
+                rowv = jnp.where(j1 >= sp, cur0, p_at)           # (B,1)
                 p_out[pass_i, :, :] = jnp.where(
                     (idx == j0) & actv, jnp.broadcast_to(
                         rowv, (n_streams, sp)), p_out[pass_i, :, :])
@@ -582,7 +810,7 @@ def _cascade_kernel_ls(c0_ref, c1_ref, c2_ref, pool_ref, tracked_ref,
                                (jnp.int32(0), n_act0))
             return carry
 
-        jax.lax.fori_loop(0, s_total, outer, jnp.int32(0))
+        jax.lax.fori_loop(0, max_act, outer, jnp.int32(0))
 
 
 def _cascade_call_lockstep(costs, pool, tracked, unconf, high1, high3,
@@ -627,6 +855,7 @@ def _cascade_call_lockstep(costs, pool, tracked, unconf, high1, high3,
             pltpu.VMEM((bsz, sp), jnp.int32),     # done
             pltpu.VMEM((bsz, sp), jnp.int32),     # jend
             pltpu.VMEM((bsz, sp), jnp.float32),   # rowbuf
+            pltpu.VMEM((bsz, sp), jnp.int32),     # order (compacted)
         ],
         interpret=interpret,
     )(c0, c1, c2, *masks, big_s)
