@@ -296,6 +296,50 @@ def run_batched(bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
     return stats if return_stats else stats["best"]
 
 
+def run_temporal(bundle, tracker_cfg, nms_cfg, pipe_cfg, frames,
+                 empty_store, t=2, k=48, reps=5, floor_s=0.0,
+                 reid_bucket=None, face_bucket=None):
+    """Single-stream throughput with T consecutive frames per dispatch.
+
+    The loaded config's near-real-time serving point (docs/PERF.md
+    "temporal batching at B=1"): detector batch T + T*bucket ReID crops
+    per dispatch tile better than batch 1, at T-1 frames of added
+    latency. Output bitwise-equal to T sequential steps
+    (tests/test_batched_step.py::test_temporal_batched_matches_sequential).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from botsort_tpu.pipeline.frame_step import frame_step_batched_temporal
+
+    fk = jnp.stack([
+        jnp.stack([frames[(i * t + j) % len(frames)]
+                   for j in range(t)])[None]
+        for i in range(k)])
+
+    @jax.jit
+    def run_k(bundle, stores, fk):
+        def body(s, f):
+            s2, out = frame_step_batched_temporal(
+                bundle, s, f, tracker_cfg, nms_cfg, pipe_cfg, None,
+                reid_bucket, face_bucket)
+            return s2, out.tracks.valid
+        return jax.lax.scan(body, stores, fk)
+
+    one = empty_store(tracker_cfg)
+    stores = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (1,) + x.shape), one)
+    stores, v = run_k(bundle, stores, fk)
+    _ = jax.device_get(v)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        stores, v = run_k(bundle, stores, fk)
+        _ = jax.device_get(v)
+        times.append(time.perf_counter() - t0)
+    return fps_stats(times, k * t, floor_s)["median"]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -505,6 +549,19 @@ def main():
                                 frames, empty_store, b=8, k=40,
                                 floor_s=floor_s, reid_bucket=16)
 
+    # Temporal batching at B=1 (T=2): the loaded config's near-real-time
+    # serving point — +7% bf16 / +10% composed with int8-mid at ONE
+    # frame of added latency (docs/PERF.md "temporal batching at B=1";
+    # T=2 captures the whole win, T=4 adds nothing, odd T loses it).
+    fps_temporal = run_temporal(
+        bundle, loaded_cfg, nms_cfg, pipe_cfg, frames, empty_store,
+        t=2, k=48, floor_s=floor_s, reid_bucket=buckets[-1],
+        face_bucket=face_bucket)
+    fps_temporal_q = run_temporal(
+        qbundle, loaded_cfg, nms_cfg, pipe_cfg, frames, empty_store,
+        t=2, k=48, floor_s=floor_s, reid_bucket=buckets[-1],
+        face_bucket=face_bucket)
+
     # v5e peak: 197 TFLOP/s bf16 (per chip).
     mfu = round(flops_frame * fps_loaded / 197e12, 4)
     print(json.dumps({
@@ -530,6 +587,8 @@ def main():
         "batched_8stream_mot20_384_fps": round(fps_batched_384, 2),
         "loaded_int8mid_fps": round(fps_loaded_q, 2),
         "batched_8stream_int8mid_fps": round(fps_batched_q, 2),
+        "loaded_temporal_T2_fps": round(fps_temporal, 2),
+        "loaded_temporal_int8_T2_fps": round(fps_temporal_q, 2),
         "mfu": mfu,
         "flops_per_frame_g": round(flops_frame / 1e9, 1),
         "tunnel_floor_ms": round(floor_s * 1e3, 1),

@@ -60,6 +60,14 @@ def build_parser() -> ArgumentParser:
              "envelope, runtime/envelope.py). Each chip runs the same "
              "batched per-chip program on its stream slice "
              "(pipeline/host.py::MeshBatchedBoTSORTPipeline).")
+    parser.add_argument(
+        "--temporal", type=int, default=1, metavar="T",
+        help="Batch T consecutive frames per stream into each dispatch "
+             "(near-real-time mode: +7%% throughput at T=2 for one "
+             "frame of added latency on the measured single-stream "
+             "loaded config — docs/PERF.md 'temporal batching at B=1'; "
+             "outputs are bitwise-identical to T=1). Single-chip, "
+             "live-jitted serving only.")
     return parser
 
 
@@ -124,7 +132,23 @@ def main(argv=None):
         body_reid_input_hw=pipe_cfg.body_reid_input_hw)
     if env_warn:
         print(yellow(env_warn))
-    if args.artifact_dir:
+    t_batch = max(1, int(args.temporal))
+    if t_batch > 1 and (args.artifact_dir or chips > 1):
+        print(yellow(
+            "WARNING: --temporal is single-chip live-jitted serving; "
+            "ignoring it here."))
+        t_batch = 1
+    if t_batch > 1:
+        from botsort_tpu.pipeline.host import (
+            TemporalBatchedBoTSORTPipeline,
+        )
+
+        print(cyan(f"temporal batching: {t_batch} frames/stream per "
+                   f"dispatch ({t_batch - 1} frame(s) added latency)"))
+        pipeline = TemporalBatchedBoTSORTPipeline(
+            bundle, b, t_batch=t_batch, tracker_cfg=tracker_cfg,
+            nms_cfg=NMSConfig(), pipe_cfg=pipe_cfg)
+    elif args.artifact_dir:
         from botsort_tpu.runtime.exported import load_batched_pipeline
 
         pipeline = load_batched_pipeline(
@@ -155,37 +179,53 @@ def main(argv=None):
     prev = None  # (frames, live flags, tracks) of the previous step
 
     def _emit(entry):
-        p_frames, p_live, p_tracks = entry
-        for s in range(b):
-            if not p_live[s]:
-                continue
-            if writers[s] is None and not args.disable_video_writer:
-                stem = os.path.splitext(
-                    os.path.basename(args.videos[s]))[0]
-                h, w = p_frames[s].shape[:2]
-                writers[s] = make_writer(
-                    os.path.join(args.output_dir,
-                                 f"{stem}_tracked.mp4"),
-                    caps[s].get(cv2.CAP_PROP_FPS) or 30.0, (w, h))
-            draw_tracks(p_frames[s], p_tracks[s])
-            if writers[s] is not None:
-                writers[s].write(p_frames[s])
+        # entry: (frames[t][s], real_t[s] = # real frames this group,
+        # tracks[t][s]); coasted group tail frames (t >= real_t[s]) of
+        # an ended stream are dropped, exactly like the T=1 loop
+        # dropped dead streams' outputs.
+        p_frames, p_real, p_tracks = entry
+        for tt in range(len(p_frames)):
+            for s in range(b):
+                if tt >= p_real[s]:
+                    continue
+                if writers[s] is None and not args.disable_video_writer:
+                    stem = os.path.splitext(
+                        os.path.basename(args.videos[s]))[0]
+                    h, w = p_frames[tt][s].shape[:2]
+                    writers[s] = make_writer(
+                        os.path.join(args.output_dir,
+                                     f"{stem}_tracked.mp4"),
+                        caps[s].get(cv2.CAP_PROP_FPS) or 30.0, (w, h))
+                draw_tracks(p_frames[tt][s], p_tracks[tt][s])
+                if writers[s] is not None:
+                    writers[s].write(p_frames[tt][s])
 
     try:
         while any(live):
-            frames = []
-            for s, cap in enumerate(caps):
-                ok, f = (cap.read() if live[s] else (False, None))
-                if not ok:
-                    live[s] = False
-                    f = last[s]
-                    if f is None:
-                        break
-                last[s] = f
-                frames.append(f)
-            if len(frames) < b or not any(live):
+            # Read one GROUP: t_batch frames per stream (t_batch=1 is
+            # the classic loop). Streams that end mid-group coast on
+            # their last frame; real_t counts the genuine frames.
+            group = []          # [T][B] frames
+            real_t = [0] * b
+            for tt in range(t_batch):
+                row = []
+                for s, cap in enumerate(caps):
+                    ok, f = (cap.read() if live[s] else (False, None))
+                    if not ok:
+                        live[s] = False
+                        f = last[s]
+                        if f is None:
+                            break
+                    else:
+                        real_t[s] = tt + 1
+                    last[s] = f
+                    row.append(f)
+                if len(row) < b:
+                    break
+                group.append(row)
+            if len(group) < t_batch or not any(real_t):
                 break
-            shapes = {f.shape[:2] for f in frames}
+            shapes = {f.shape[:2] for row in group for f in row}
             if len(shapes) > 1:
                 print(f"ERROR: all videos must share one resolution; "
                       f"got {sorted(shapes)} (HxW).")
@@ -193,22 +233,32 @@ def main(argv=None):
                     _emit(prev)  # the resolved previous step is real
                     prev = None  # work — don't truncate the outputs
                 return 1
-            step_live = sum(live)
+            step_real = sum(real_t)
             # Dispatch this step, then draw/encode the PREVIOUS step's
             # tracks while the device computes (JAX dispatch is async;
             # BatchedBoTSORTPipeline.update_async) — the host-side
             # drawing + mp4 encode no longer serializes with compute.
-            handle = pipeline.update_async(np.stack(frames))
+            if t_batch == 1:
+                handle = pipeline.update_async(np.stack(group[0]))
+            else:
+                # [T][B] -> [B, T, H, W, 3]
+                handle = pipeline.update_async(
+                    np.stack([np.stack([group[tt][s]
+                                        for tt in range(t_batch)])
+                              for s in range(b)]))
             if prev is not None:
                 _emit(prev)
-            tracks_per_stream = handle.result()
-            prev = (list(frames), [lv for lv in live], tracks_per_stream)
+            tracks = handle.result()
+            if t_batch == 1:
+                prev = (group, real_t, [tracks])
+            else:
+                prev = (group, real_t, tracks)
             if t_start is None:
                 t_start = time.perf_counter()  # exclude first compile
             else:
-                live_frames += step_live
+                live_frames += step_real
             n += 1
-            if args.max_frames and n >= args.max_frames:
+            if args.max_frames and n * t_batch >= args.max_frames:
                 break
         if prev is not None:
             _emit(prev)
