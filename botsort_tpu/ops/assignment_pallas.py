@@ -196,6 +196,126 @@ def _shift_lanes(x, s: int):
     return y.astype(x.dtype)
 
 
+def _post_reduction_resolve(cost2d, v_lane, live_cell, rv, cv, rv_shift,
+                            q_in, p_in, plive_in, half, idx,
+                            row_iota, lane_iota, diag, tri):
+    """Two exact vectorized resolution steps run AFTER the column
+    reduction and BEFORE the sequential Dijkstra augmentation phase.
+    Shared by both cascade kernels (identical math + tie-breaks so the
+    grid/lockstep equality tests keep holding). All inputs/outputs are
+    traced values, not refs; (1, sp) lane vectors and (sp, sp) tiles.
+
+    (a) Escape fast-path: a live real row whose minimum reduced cost
+        over live columns is >= half (the dummy-column opt-out price)
+        will take SOME escape column in every optimal solution the
+        duals can certify right now: set u[i] = half (feasible, since
+        every entry of its extended row minus v is >= half) and
+        rank-pair such rows with the still-free escape columns at
+        reduced cost half - u - 0 = 0. Counting argument for enough
+        escapes: #free escapes = #live real rows - #column-reduction
+        wins - #pair-1-consumed, and qualified rows are a subset of
+        the non-winning live rows.
+    (b) Free-column claim (2 rounds): an unassigned live row whose
+        GLOBAL minimum reduced cost is attained at a still-free live
+        column can take it immediately with u[i] = that minimum —
+        dual-feasible by construction, reduced cost 0 at the claimed
+        pair (complementary slackness), no displacement needed.
+        Lowest row index wins a contested column; losers retry next
+        round against the shrunken free set.
+
+    Both steps keep duals feasible and every assigned pair at reduced
+    cost 0, so the remaining augmentation phase stays EXACT — it
+    simply starts from a more complete matching. On the adversarial
+    random-feature regime (the bench headline scene) step (a) resolves
+    nearly every row that pre-parking's any()-feasibility test could
+    not (rows with a few sub-limit entries that still all exceed
+    half after the column reduction's v), collapsing the sequential
+    pop count.
+    """
+    sp = cost2d.shape[0]
+
+    def to_lanes_i(col_vec):
+        return jnp.sum(
+            jnp.where(diag, jnp.broadcast_to(col_vec, (sp, sp)), 0),
+            axis=0, keepdims=True)
+
+    def to_lanes_f(col_vec):
+        return jnp.sum(
+            jnp.where(diag, jnp.broadcast_to(col_vec, (sp, sp)), 0.0),
+            axis=0, keepdims=True)
+
+    def to_rows_i(lane_vec):
+        return jnp.sum(
+            jnp.where(diag, jnp.broadcast_to(lane_vec, (sp, sp)), 0),
+            axis=1, keepdims=True)
+
+    reduced2d = cost2d - jnp.broadcast_to(v_lane, (sp, sp))
+    red_live = jnp.where(live_cell, reduced2d, _INF)
+    rowmin_live = jnp.min(red_live, axis=1, keepdims=True)    # (sp, 1)
+
+    q_cur, p_cur, plive_cur = q_in, p_in, plive_in
+    u_lane = jnp.zeros_like(v_lane)
+
+    # --- (a) escape fast-path.
+    act_l = jnp.where(jnp.logical_and(rv == 1, q_cur < 0), 1, 0)
+    qual_r = jnp.where(
+        jnp.logical_and(to_rows_i(act_l) == 1, rowmin_live >= half),
+        1, 0)                                                 # (sp, 1)
+    qual_l = to_lanes_i(qual_r)
+    esc_free = jnp.where(jnp.logical_and(rv_shift == 1, p_cur < 0),
+                         1, 0)
+    rank_c = jnp.dot(qual_l.astype(jnp.float32), tri,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    rank_e = jnp.dot(esc_free.astype(jnp.float32), tri,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    pair2 = ((to_rows_i(rank_c) == rank_e)
+             & (to_rows_i(qual_l) == 1)
+             & jnp.broadcast_to(esc_free == 1, (sp, sp)))
+    qp2 = to_lanes_i(jnp.min(jnp.where(pair2, lane_iota, sp),
+                             axis=1, keepdims=True))          # (1, sp)
+    pp2 = jnp.min(jnp.where(pair2, row_iota, sp),
+                  axis=0, keepdims=True)                      # (1, sp)
+    took = jnp.logical_and(qual_l == 1, qp2 < sp)
+    q_cur = jnp.where(took, qp2, q_cur)
+    p_cur = jnp.where(jnp.logical_and(esc_free == 1, pp2 < sp),
+                      pp2, p_cur)
+    u_lane = jnp.where(took, half, u_lane)
+
+    # --- (b) free-column claim rounds.
+    for _ in range(2):
+        act_l = jnp.where(jnp.logical_and(rv == 1, q_cur < 0), 1, 0)
+        act_r = to_rows_i(act_l)
+        freecol = jnp.where(jnp.logical_and(cv == 1, p_cur < 0), 1, 0)
+        red_free = jnp.where(
+            live_cell & jnp.broadcast_to(freecol == 1, (sp, sp)),
+            reduced2d, _INF)
+        freemin_r = jnp.min(red_free, axis=1, keepdims=True)  # (sp, 1)
+        ok_r = ((act_r == 1) & (freemin_r <= rowmin_live)
+                & (freemin_r <= half))
+        argj_r = jnp.min(jnp.where(red_free == freemin_r, lane_iota, sp),
+                         axis=1, keepdims=True)               # (sp, 1)
+        claim2d = ((lane_iota == argj_r)
+                   & jnp.broadcast_to(ok_r, (sp, sp)))
+        winrow_c = jnp.min(jnp.where(claim2d, row_iota, sp),
+                           axis=0, keepdims=True)             # (1, sp)
+        win2 = claim2d & (row_iota == winrow_c)
+        wrow_r = jnp.max(win2.astype(jnp.int32), axis=1,
+                         keepdims=True)                       # (sp, 1)
+        jwin_r = jnp.min(jnp.where(win2, lane_iota, sp),
+                         axis=1, keepdims=True)               # (sp, 1)
+        wcol_l = jnp.max(win2.astype(jnp.int32), axis=0,
+                         keepdims=True)                       # (1, sp)
+        won_l = to_lanes_i(wrow_r) == 1
+        q_cur = jnp.where(won_l, to_lanes_i(jwin_r), q_cur)
+        p_cur = jnp.where(wcol_l == 1, winrow_c, p_cur)
+        u_lane = jnp.where(
+            won_l,
+            to_lanes_f(jnp.where(wrow_r == 1, rowmin_live, 0.0)),
+            u_lane)
+        plive_cur = jnp.where(wcol_l == 1, 1, plive_cur)
+    return q_cur, p_cur, u_lane, plive_cur
+
+
 def _cascade_kernel(cost_ref, pool_ref, tracked_ref, unconf_ref,
                     high1_ref, high3_ref, low_ref, big_ref,
                     p_out, q_out, plive_out,
@@ -378,6 +498,20 @@ def _cascade_kernel(cost_ref, pool_ref, tracked_ref, unconf_ref,
         p_out[pass_i, :, :] = jnp.where(
             (cols_b == 1) & (p_pair < sp), p_pair, p_red)
         plive_out[pass_i, :, :] = win_col
+
+        # Escape fast-path + free-column claims (round-5 session 2;
+        # see _post_reduction_resolve) — resolves most of the rows the
+        # column reduction left active, so the sequential loop below
+        # runs only for genuinely contested rows.
+        q_res, p_res, u_lane, plive_res = _post_reduction_resolve(
+            cost2d, v_ref[:, :], live_cell, rv, cv, rv_shift,
+            q_out[pass_i, :, :], p_out[pass_i, :, :],
+            plive_out[pass_i, :, :], half, idx,
+            row_iota, lane_iota, diag, tri)
+        q_out[pass_i, :, :] = q_res
+        p_out[pass_i, :, :] = p_res
+        plive_out[pass_i, :, :] = plive_res
+        u_ref[:, :] = u_lane
 
         # Compacted augmentation order: order[k] = lane of the k-th
         # ACTIVE row (live, still unassigned) — the outer loop below
@@ -652,10 +786,24 @@ def _cascade_kernel_ls(c0_ref, c1_ref, c2_ref, pool_ref, tracked_ref,
                 (cols_b == 1) & (p_pair < sp), p_pair, p_red)
             plive_out[pass_i, b:b + 1, :] = win_col
 
+            # Escape fast-path + free-column claims — identical math
+            # and tie-breaks to the grid kernel's (grid/lockstep
+            # equality asserted in tests/test_cascade_solve.py).
+            q_res, p_res, u_lane, plive_res = _post_reduction_resolve(
+                cost2d, v_ref[b:b + 1, :], live_cell, rv_b, cv_b,
+                cols_b, q_out[pass_i, b:b + 1, :],
+                p_out[pass_i, b:b + 1, :],
+                plive_out[pass_i, b:b + 1, :], half, idx,
+                row_iota2, lane_iota2, diag2, tri2)
+            q_out[pass_i, b:b + 1, :] = q_res
+            p_out[pass_i, b:b + 1, :] = p_res
+            plive_out[pass_i, b:b + 1, :] = plive_res
+            u_ref[b:b + 1, :] = u_lane
+
             # Compacted per-stream augmentation order (sentinel sp).
             live_b = live_vec[b:b + 1, :]
             active = jnp.where(live_b == 1,
-                               jnp.where(q_new < 0, 1, 0), 0)
+                               jnp.where(q_res < 0, 1, 0), 0)
             rank_act = jnp.dot(active.astype(jnp.float32), tri2,
                                preferred_element_type=jnp.float32
                                ).astype(jnp.int32)

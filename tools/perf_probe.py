@@ -2087,6 +2087,7 @@ def main():
         # hierarchy, body crop-gather, body encode @ bucket 50, face
         # path @ bucket 16, cascade+KF (full - prior).
         from botsort_tpu.models import fastreid as fastreid_mod
+        from botsort_tpu.ops import assignment
         from botsort_tpu.ops import crop as crop_mod
         from botsort_tpu.ops import hierarchy as hier_mod
         from botsort_tpu.ops import nms as nms_mod
@@ -2113,12 +2114,24 @@ def main():
         face_bucket = 16
 
         def build(level):
+            prod_crop = level.endswith("i8")
+
             def step(b, s, frame_bgr):
                 src_h, src_w = frame_bgr.shape[0], frame_bgr.shape[1]
                 pdt = fs._compute_dtype(pipe_cfg)
-                det_in = jax.image.resize(
-                    frame_bgr.astype(pdt), (in_h, in_w, 3),
-                    method="linear")[None]
+                if prod_crop:
+                    # Mirror frame_step's production preprocess exactly
+                    # (int8-x-phase crop op) to isolate the closure-vs-
+                    # frame_step delta.
+                    fullbox = jnp.asarray(
+                        [[0.0, 0.0, float(src_w), float(src_h)]],
+                        jnp.float32)
+                    det_in = fs._crop(frame_bgr, fullbox, (in_h, in_w),
+                                      pdt, pipe_cfg)
+                else:
+                    det_in = jax.image.resize(
+                        frame_bgr.astype(pdt), (in_h, in_w, 3),
+                        method="linear")[None]
                 if level == "resize":
                     return s, det_in[0, ::97, ::89, 0]
                 cb, cs = b.detector.apply(b.detector_params, det_in)
@@ -2158,16 +2171,22 @@ def main():
                     return s, crops[:, ::37, ::19, 0]
 
                 def encode_body(tlbr_chunk):
-                    crops = crop_mod.crop_and_resize(
-                        frame_bgr, tlbr_chunk,
-                        pipe_cfg.body_reid_input_hw, compute_dtype=pdt)
+                    if prod_crop:
+                        crops = fs._crop(frame_bgr, tlbr_chunk,
+                                         pipe_cfg.body_reid_input_hw,
+                                         pdt, pipe_cfg)
+                    else:
+                        crops = crop_mod.crop_and_resize(
+                            frame_bgr, tlbr_chunk,
+                            pipe_cfg.body_reid_input_hw,
+                            compute_dtype=pdt)
                     return b.body_encoder.apply(
                         b.body_params, fastreid_mod.preprocess(crops))
 
                 body_feats = fs._encode_chunked(
                     encode_body, body_tlbr_p, n_live, r,
                     cfg.body_feature_dim, static_bucket=d)[:d]
-                if level == "bodyenc":
+                if level.startswith("bodyenc"):
                     return s, body_feats[:, 0]
                 hb = fs._pad_slots(head_for_body, dp, fill=-1)
                 fb = jnp.where(
@@ -2179,9 +2198,15 @@ def main():
                     jnp.zeros((dp, 4), jnp.float32))
 
                 def encode_face(tlbr_chunk):
-                    crops = crop_mod.crop_and_resize(
-                        frame_bgr, tlbr_chunk,
-                        pipe_cfg.face_reid_input_hw, compute_dtype=pdt)
+                    if prod_crop:
+                        crops = fs._crop(frame_bgr, tlbr_chunk,
+                                         pipe_cfg.face_reid_input_hw,
+                                         pdt, pipe_cfg)
+                    else:
+                        crops = crop_mod.crop_and_resize(
+                            frame_bgr, tlbr_chunk,
+                            pipe_cfg.face_reid_input_hw,
+                            compute_dtype=pdt)
                     return b.face_encoder.apply(b.face_params, crops)
 
                 face_feats = fs._encode_faces(
@@ -2196,10 +2221,58 @@ def main():
 
             return step
 
+        # Solver-ablation levels: run the FULL tracker_update but with
+        # solve_cascade_masked swapped for (a) an all-unmatched stub
+        # (cost matrices get DCE'd too -> cascade minus this delta =
+        # costs + solver) and (b) a cheap greedy over the same cost
+        # inputs (costs stay materialized -> cascade minus this =
+        # solver kernel alone). State evolution differs from the real
+        # path, so these bound, not equal, the production split.
+        def _stub_unmatched(d1, iou, d3, pool, tr, unc, high, low,
+                            limits, max_iters=0):
+            nn, dd = d1.shape
+            r = assignment.AssignmentResult(
+                jnp.full((nn,), -1, jnp.int32),
+                jnp.full((dd,), -1, jnp.int32))
+            return r, r, r
+
+        def _stub_greedy(d1, iou, d3, pool, tr, unc, high, low,
+                         limits, max_iters=0):
+            def g(c, rm, cm, lim):
+                c2 = jnp.where(rm[:, None] & cm[None, :], c, 1e9)
+                j = jnp.argmin(c2, axis=1).astype(jnp.int32)
+                ok = jnp.min(c2, axis=1) <= lim
+                i = jnp.argmin(c2, axis=0).astype(jnp.int32)
+                okc = jnp.min(c2, axis=0) <= lim
+                return assignment.AssignmentResult(
+                    jnp.where(ok, j, -1), jnp.where(okc, i, -1))
+            r1 = g(d1, pool, high, limits[0])
+            r2 = g(iou, tr & (r1.col_for_row < 0), low, limits[1])
+            r3 = g(d3, unc, high & (r1.row_for_col < 0), limits[2])
+            return r1, r2, r3
+
+        _real_solve = assignment.solve_cascade_masked
+        _stubs = {"tailstub": _stub_unmatched, "tailgreedy": _stub_greedy}
+        from botsort_tpu.track import cascade as cascade_core
         for level in ("resize", "det", "nms", "hier", "bodycrop",
-                      "bodyenc", "faceenc", "cascade"):
-            sec = time_scan(build(level), bundle, empty_store(cfg),
-                            frames, args.k)
+                      "bodyenc", "faceenc", "tailstub", "tailgreedy",
+                      "cascade", "cascadei8", "bodyenci8"):
+            # tracker_update is itself jitted: its FIRST trace in this
+            # process is cached and reused by every later level with the
+            # same shapes/static args, so a solver monkeypatch would
+            # silently leak across levels (it did — the round-5 session-2
+            # "8.5 ms cascade" was a stubbed-solver artifact). Clear its
+            # trace cache around each stubbed level.
+            cascade_core.tracker_update.clear_cache()
+            assignment.solve_cascade_masked = _stubs.get(level, _real_solve)
+            try:
+                lv = {"tailstub": "cascade",
+                      "tailgreedy": "cascade"}.get(level, level)
+                sec = time_scan(build(lv), bundle, empty_store(cfg),
+                                frames, args.k)
+            finally:
+                assignment.solve_cascade_masked = _real_solve
+                cascade_core.tracker_update.clear_cache()
             print(json.dumps({"stage": f"loaded_{level}",
                               "ms": round(sec * 1e3, 3)}), flush=True)
 
