@@ -197,7 +197,7 @@ def _shift_lanes(x, s: int):
 
 
 def _post_reduction_resolve(cost2d, v_lane, live_cell, rv, cv, rv_shift,
-                            q_in, p_in, plive_in, half, idx,
+                            cv_shift, q_in, p_in, plive_in, half, idx,
                             row_iota, lane_iota, diag, tri):
     """Two exact vectorized resolution steps run AFTER the column
     reduction and BEFORE the sequential Dijkstra augmentation phase.
@@ -222,6 +222,20 @@ def _post_reduction_resolve(cost2d, v_lane, live_cell, rv, cv, rv_shift,
         pair (complementary slackness), no displacement needed.
         Lowest row index wins a contested column; losers retry next
         round against the shrunken free set.
+    (c) Dummy-row completion: live dummy rows whose column the
+        reduction left UNWON (so pairing step 2 of the init skipped
+        them) rank-pair with the remaining free escape columns at
+        u = 0 — a dummy row's extended costs are all >= 0 under any
+        v <= half, and the escape pair costs exactly 0, so feasibility
+        and CS hold. Escape identity never reaches the outputs (any
+        q >= n_cols extracts as unmatched; plive covers real columns
+        only), and the row's REAL column stays free for later claims.
+        Without this, each such row burns a full delta-zero Dijkstra
+        walk over the owned escapes — ~26 pops apiece in the
+        degenerate-features bench regime (docs/PERF.md), where unwon
+        claim_live columns leave ~48 of these per pass. Excess rows
+        beyond the free-escape count (ranks past the provider list)
+        simply stay active and augment as before.
 
     Both steps keep duals feasible and every assigned pair at reduced
     cost 0, so the remaining augmentation phase stays EXACT — it
@@ -313,6 +327,23 @@ def _post_reduction_resolve(cost2d, v_lane, live_cell, rv, cv, rv_shift,
             to_lanes_f(jnp.where(wrow_r == 1, rowmin_live, 0.0)),
             u_lane)
         plive_cur = jnp.where(wcol_l == 1, 1, plive_cur)
+
+    # --- (c) dummy-row completion.
+    dum_l = jnp.where(jnp.logical_and(cv_shift == 1, q_cur < 0), 1, 0)
+    esc2 = jnp.where(jnp.logical_and(rv_shift == 1, p_cur < 0), 1, 0)
+    rank_d = jnp.dot(dum_l.astype(jnp.float32), tri,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    rank_f = jnp.dot(esc2.astype(jnp.float32), tri,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    pair3 = ((to_rows_i(rank_d) == rank_f)
+             & (to_rows_i(dum_l) == 1)
+             & jnp.broadcast_to(esc2 == 1, (sp, sp)))
+    qp3 = to_lanes_i(jnp.min(jnp.where(pair3, lane_iota, sp),
+                             axis=1, keepdims=True))
+    pp3 = jnp.min(jnp.where(pair3, row_iota, sp),
+                  axis=0, keepdims=True)
+    q_cur = jnp.where(jnp.logical_and(dum_l == 1, qp3 < sp), qp3, q_cur)
+    p_cur = jnp.where(jnp.logical_and(esc2 == 1, pp3 < sp), pp3, p_cur)
     return q_cur, p_cur, u_lane, plive_cur
 
 
@@ -504,7 +535,7 @@ def _cascade_kernel(cost_ref, pool_ref, tracked_ref, unconf_ref,
         # column reduction left active, so the sequential loop below
         # runs only for genuinely contested rows.
         q_res, p_res, u_lane, plive_res = _post_reduction_resolve(
-            cost2d, v_ref[:, :], live_cell, rv, cv, rv_shift,
+            cost2d, v_ref[:, :], live_cell, rv, cv, rv_shift, cv_shift,
             q_out[pass_i, :, :], p_out[pass_i, :, :],
             plive_out[pass_i, :, :], half, idx,
             row_iota, lane_iota, diag, tri)
@@ -791,7 +822,8 @@ def _cascade_kernel_ls(c0_ref, c1_ref, c2_ref, pool_ref, tracked_ref,
             # equality asserted in tests/test_cascade_solve.py).
             q_res, p_res, u_lane, plive_res = _post_reduction_resolve(
                 cost2d, v_ref[b:b + 1, :], live_cell, rv_b, cv_b,
-                cols_b, q_out[pass_i, b:b + 1, :],
+                cols_b, cv_shift[b:b + 1, :],
+                q_out[pass_i, b:b + 1, :],
                 p_out[pass_i, b:b + 1, :],
                 plive_out[pass_i, b:b + 1, :], half, idx,
                 row_iota2, lane_iota2, diag2, tri2)

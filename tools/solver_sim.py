@@ -295,7 +295,16 @@ def _resolve_phase(cost, rv, cv, half, p, q, u, v, b_rounds=2):
             q[i] = j
             u[i] = rowmin
             rb += 1
-    return ra, rb
+    # (c) dummy-row completion: unassigned live dummy rows rank-pair
+    # with the remaining free escape columns at u = 0 (reduced cost 0).
+    rc = 0
+    dums = [N + j for j in range(D) if cv[j] and q[N + j] < 0]
+    escs = [c for c in range(D, S) if p[c] < 0 and rv[c - D]]
+    for k in range(min(len(dums), len(escs))):
+        q[dums[k]] = escs[k]
+        p[escs[k]] = dums[k]
+        rc += 1
+    return ra, rb + rc
 
 
 def _augment_phase(cost, rv, cv, half, big, p, q, u, v):
